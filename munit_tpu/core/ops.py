@@ -1,0 +1,255 @@
+"""Pure functional ops for munit_tpu.
+
+All image tensors are NHWC (TPU-native layout; the reference is NCHW torch).
+Numerical semantics mirror the reference implementation exactly where parity
+matters (see each docstring's file:line citation into /root/reference):
+
+- ``instance_norm``      : torch ``nn.InstanceNorm2d`` defaults (affine-less,
+                           eps=1e-5, biased variance) — networks.py:657.
+- ``adain``              : the reference computes AdaIN through an
+                           ``F.batch_norm`` reshape trick (networks.py:823-845);
+                           mathematically it is per-(sample, channel) instance
+                           normalization with externally supplied scale/shift.
+- ``whole_layer_norm``   : the fork's nonstandard LayerNorm (networks.py:851-878):
+                           per-sample statistics over the WHOLE (C,H,W) tensor
+                           using the *unbiased* std, and eps added to the std
+                           (not the variance), then per-channel affine.
+- ``avg_pool_3x3_s2``    : ``nn.AvgPool2d(3, stride=2, padding=1,
+                           count_include_pad=False)`` — networks.py:32-34.
+- ``upsample_nearest``   : ``nn.Upsample(scale_factor=2)`` — networks.py:534.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+# ---------------------------------------------------------------------------
+# Padding
+# ---------------------------------------------------------------------------
+
+
+def pad2d(x: jax.Array, padding: int, mode: str) -> jax.Array:
+    """Spatially pad an NHWC tensor.
+
+    mode: 'reflect' | 'replicate' | 'zero'  (networks.py:641-649)
+    """
+    if padding == 0:
+        return x
+    p = ((0, 0), (padding, padding), (padding, padding), (0, 0))
+    if mode == "reflect":
+        return jnp.pad(x, p, mode="reflect")
+    if mode == "replicate":
+        return jnp.pad(x, p, mode="edge")
+    if mode == "zero":
+        return jnp.pad(x, p, mode="constant")
+    raise ValueError(f"Unsupported padding type: {mode}")
+
+
+# ---------------------------------------------------------------------------
+# Convolution (NHWC x HWIO -> NHWC), explicit pre-padding like the reference
+# ---------------------------------------------------------------------------
+
+_DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None,
+           stride: int = 1,
+           precision=lax.Precision.HIGHEST) -> jax.Array:
+    """VALID conv over an already-padded NHWC input. kernel is HWIO.
+
+    precision defaults to HIGHEST so float32 runs accumulate in f32 (required
+    for pixel parity with the torch reference); bf16 inputs still use the MXU's
+    native bf16 multiply with f32 accumulate.
+    """
+    y = lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(stride, stride),
+        padding="VALID",
+        dimension_numbers=_DIMS,
+        precision=precision,
+    )
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Normalizations
+# ---------------------------------------------------------------------------
+
+
+def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Affine-less instance norm over H,W per (sample, channel).
+
+    Matches torch nn.InstanceNorm2d defaults (biased variance, eps=1e-5).
+    x: NHWC. Statistics are computed in float32 regardless of input dtype.
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    return y.astype(x.dtype)
+
+
+def adain(x: jax.Array, gamma: jax.Array, beta: jax.Array,
+          eps: float = 1e-5) -> jax.Array:
+    """Adaptive instance norm: instance-normalize then scale/shift per sample.
+
+    x: NHWC; gamma, beta: (B, C) produced by the style MLP. Equivalent to the
+    reference's F.batch_norm-over-(1,B*C,H,W) trick with weight=gamma (std) and
+    bias=beta (mean) — networks.py:823-845 (training=True → batch statistics,
+    biased variance).
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    g = gamma.astype(jnp.float32)[:, None, None, :]
+    b = beta.astype(jnp.float32)[:, None, None, :]
+    return (y * g + b).astype(x.dtype)
+
+
+def whole_layer_norm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
+                     eps: float = 1e-5) -> jax.Array:
+    """The fork's custom LayerNorm (networks.py:851-878).
+
+    Per-sample mean/std over the ENTIRE feature map (all of C,H,W), with the
+    *unbiased* (Bessel-corrected) std and eps added to the std itself:
+        y = (x - mean) / (std + eps); out = y * gamma[c] + beta[c]
+    x: NHWC; gamma, beta: (C,).
+    """
+    xf = x.astype(jnp.float32)
+    n = x.shape[1] * x.shape[2] * x.shape[3]
+    mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
+    var_b = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3), keepdims=True)
+    # unbiased std, matching torch.Tensor.std() default (correction=1)
+    std = jnp.sqrt(var_b * (n / (n - 1)))
+    y = (xf - mean) / (std + eps)
+    out = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def batch_norm_inference(x: jax.Array, mean: jax.Array, var: jax.Array,
+                         gamma: jax.Array, beta: jax.Array,
+                         eps: float = 1e-5) -> jax.Array:
+    """Inference-mode batch norm with frozen running stats (for ResNet/VGG/Inception)."""
+    xf = x.astype(jnp.float32)
+    inv = lax.rsqrt(var.astype(jnp.float32) + eps) * gamma.astype(jnp.float32)
+    return ((xf - mean.astype(jnp.float32)) * inv + beta.astype(jnp.float32)).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pooling / resizing
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _avg_pool_counts(h: int, w: int) -> np.ndarray:
+    """Valid-element counts for 3x3 stride-2 pad-1 pooling (count_include_pad=False)."""
+    ones = np.ones((1, h, w, 1), np.float32)
+    counts = jax.device_get(lax.reduce_window(
+        jnp.asarray(ones), 0.0, lax.add, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)]))
+    return counts
+
+
+def avg_pool_3x3_s2(x: jax.Array) -> jax.Array:
+    """AvgPool2d(3, stride=2, padding=1, count_include_pad=False) on NHWC.
+
+    The multi-scale discriminator's inter-scale downsample (networks.py:32-34).
+    Zero-padded sum pool divided by the per-position count of valid elements.
+    """
+    s = lax.reduce_window(
+        x.astype(jnp.float32), 0.0, lax.add, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)])
+    counts = jnp.asarray(_avg_pool_counts(x.shape[1], x.shape[2]))
+    return (s / counts).astype(x.dtype)
+
+
+def max_pool(x: jax.Array, window: int, stride: int, padding: int = 0) -> jax.Array:
+    """Max pool on NHWC (for VGG16 / ResNet stems)."""
+    pads = [(0, 0), (padding, padding), (padding, padding), (0, 0)]
+    return lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        lax.max, (1, window, window, 1), (1, stride, stride, 1), pads)
+
+
+def global_avg_pool(x: jax.Array) -> jax.Array:
+    """AdaptiveAvgPool2d(1): mean over H,W → (B,1,1,C)."""
+    return jnp.mean(x, axis=(1, 2), keepdims=True)
+
+
+def upsample_nearest(x: jax.Array, factor: int = 2) -> jax.Array:
+    """Nearest-neighbor 2x upsample on NHWC (nn.Upsample(scale_factor=2))."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, factor, w, factor, c))
+    return x.reshape(b, h * factor, w * factor, c)
+
+
+def resize_bilinear(x: jax.Array, size: tuple[int, int],
+                    align_corners: bool = False) -> jax.Array:
+    """Bilinear resize on NHWC matching torch F.interpolate(mode='bilinear').
+
+    align_corners=False matches torch's default (half-pixel centers), which is
+    jax.image.resize('linear'). align_corners=True is used by the reference's
+    segmenter upsample (resnet.py) and is implemented via explicit gather.
+    """
+    b, h, w, c = x.shape
+    nh, nw = size
+    if not align_corners:
+        return jax.image.resize(x, (b, nh, nw, c), method="linear")
+    if h == nh and w == nw:
+        return x
+
+    def axis_coords(n_out, n_in):
+        if n_out == 1:
+            return jnp.zeros((1,), jnp.float32)
+        scale = (n_in - 1) / (n_out - 1)
+        return jnp.arange(n_out, dtype=jnp.float32) * scale
+
+    ys = axis_coords(nh, h)
+    xs = axis_coords(nw, w)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = (ys - y0.astype(jnp.float32))[None, :, None, None]
+    wx = (xs - x0.astype(jnp.float32))[None, None, :, None]
+    g = x.astype(jnp.float32)
+    top = g[:, y0][:, :, x0] * (1 - wx) + g[:, y0][:, :, x1] * wx
+    bot = g[:, y1][:, :, x0] * (1 - wx) + g[:, y1][:, :, x1] * wx
+    return (top * (1 - wy) + bot * wy).astype(x.dtype)
+
+
+def resize_nearest(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+    """Nearest resize on NHWC (torch F.interpolate default mode='nearest')."""
+    b, h, w, c = x.shape
+    nh, nw = size
+    iy = jnp.floor(jnp.arange(nh, dtype=jnp.float32) * (h / nh)).astype(jnp.int32)
+    ix = jnp.floor(jnp.arange(nw, dtype=jnp.float32) * (w / nw)).astype(jnp.int32)
+    return x[:, jnp.clip(iy, 0, h - 1)][:, :, jnp.clip(ix, 0, w - 1)]
+
+
+# ---------------------------------------------------------------------------
+# Activations
+# ---------------------------------------------------------------------------
+
+
+def activation(name: str):
+    """Activation factory matching networks.py:667-681 (parameter-free subset)."""
+    if name == "relu":
+        return jax.nn.relu
+    if name == "lrelu":
+        return lambda x: jax.nn.leaky_relu(x, negative_slope=0.2)
+    if name == "selu":
+        return jax.nn.selu
+    if name == "tanh":
+        return jnp.tanh
+    if name == "none":
+        return lambda x: x
+    raise ValueError(f"Unsupported activation: {name}")

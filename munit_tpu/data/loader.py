@@ -1,0 +1,132 @@
+"""Threaded, prefetching batch loader.
+
+Replaces the reference's torch DataLoader subprocess pool (num_workers=8,
+configs/config_256.yaml:89) with a thread pool (PIL releases the GIL during
+decode) feeding a bounded prefetch queue, plus an optional device-prefetch
+stage that overlaps H2D transfer with compute (removing the reference's
+per-step sync, train.py:225).
+
+Multi-host sharding: pass ``shard_index``/``shard_count`` to give each host a
+disjoint slice of every epoch's permutation (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+class DataLoader:
+    """Iterates batches forever (epoch reshuffles internally).
+
+    Yields dicts of stacked numpy arrays. drop_last semantics always on
+    (matching the reference's training loaders).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool,
+                 num_workers: int = 4, seed: int = 0,
+                 shard_index: int = 0, shard_count: int = 1,
+                 prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.shard_index = shard_index
+        self.shard_count = shard_count
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.dataset) // self.shard_count
+        return n // self.batch_size
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            perm = np.random.default_rng(
+                np.random.SeedSequence([self.seed, epoch])).permutation(n)
+        else:
+            perm = np.arange(n)
+        return perm[self.shard_index::self.shard_count]
+
+    def _load(self, epoch: int, index: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, int(index)]))
+        return self.dataset.get(int(index), rng)
+
+    def batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Single-epoch iterator (ordered submission, bounded prefetch)."""
+        yield from self._iterate(single_epoch=True)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self._iterate(single_epoch=False)
+
+    def _iterate(self, single_epoch: bool):
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            from concurrent.futures import ThreadPoolExecutor
+            epoch = 0
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                while not stop.is_set():
+                    idx = self._epoch_indices(epoch)
+                    usable = (len(idx) // self.batch_size) * self.batch_size
+                    futures = [pool.submit(self._load, epoch, i)
+                               for i in idx[:usable]]
+                    for s in range(0, usable, self.batch_size):
+                        if stop.is_set():
+                            return
+                        samples = [f.result()
+                                   for f in futures[s:s + self.batch_size]]
+                        batch = {k: np.stack([smp[k] for smp in samples])
+                                 for k in samples[0]
+                                 if not isinstance(samples[0][k], str)}
+                        for k in samples[0]:
+                            if isinstance(samples[0][k], str):
+                                batch[k] = [smp[k] for smp in samples]
+                        out_q.put(batch)
+                    epoch += 1
+                    if single_epoch:
+                        out_q.put(None)
+                        return
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
+def device_prefetch(iterator, size: int = 2, sharding=None):
+    """Move batches to device ahead of compute (jnp arrays, optionally with a
+    NamedSharding for multi-chip input feeding)."""
+    import jax
+    import collections
+
+    def to_device(batch):
+        if sharding is not None:
+            return {k: (jax.device_put(v, sharding)
+                        if isinstance(v, np.ndarray) else v)
+                    for k, v in batch.items()}
+        return {k: (jax.device_put(v) if isinstance(v, np.ndarray) else v)
+                for k, v in batch.items()}
+
+    buf = collections.deque()
+    it = iter(iterator)
+    try:
+        while True:
+            while len(buf) < size:
+                buf.append(to_device(next(it)))
+            yield buf.popleft()
+    except StopIteration:
+        while buf:
+            yield buf.popleft()

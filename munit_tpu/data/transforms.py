@@ -1,0 +1,156 @@
+"""Host-side image transforms matching torchvision semantics.
+
+The reference pipeline (utils.py:192-250, 270-363, 458-635):
+train: RandomHorizontalFlip → Resize(shorter side) → RandomCrop(h,w) →
+ToTensor → Normalize(.5,.5,.5); masks/semantic maps are flipped/cropped
+JOINTLY with the image and resized with NEAREST.
+
+Output layout is NHWC float32 (TPU-native), images in [-1, 1].
+Semantic PNGs are mapped grayscale→class-id via the reference's value table
+(mapping, utils.py:1356-1366) using exact uint8 comparisons.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+# grayscale value → class id (utils.py:1356-1366)
+_SEM_VALUE_TABLE = {0: 0, 29: 1, 55: 2, 76: 3, 133: 4, 149: 5, 178: 6,
+                    200: 7, 255: 8}
+_SEM_LUT = np.arange(256, dtype=np.uint8)
+for _v, _c in _SEM_VALUE_TABLE.items():
+    _SEM_LUT[_v] = _c
+
+
+def resize_shorter(img: Image.Image, size: int,
+                   resample=Image.BILINEAR) -> Image.Image:
+    """torchvision Resize(int): shorter side → size, keep aspect ratio."""
+    w, h = img.size
+    if w <= h:
+        nw, nh = size, max(1, round(h * size / w))
+    else:
+        nh, nw = size, max(1, round(w * size / h))
+    if (nw, nh) == (w, h):
+        return img
+    return img.resize((nw, nh), resample)
+
+
+def crop_params(rng: np.random.Generator, img: Image.Image,
+                th: int, tw: int) -> Tuple[int, int, int, int]:
+    """RandomCrop.get_params: top-left (i, j) for an (th, tw) crop."""
+    w, h = img.size
+    if h == th and w == tw:
+        return 0, 0, th, tw
+    i = int(rng.integers(0, h - th + 1))
+    j = int(rng.integers(0, w - tw + 1))
+    return i, j, th, tw
+
+
+def crop(img: Image.Image, i: int, j: int, h: int, w: int) -> Image.Image:
+    return img.crop((j, i, j + w, i + h))
+
+
+def to_array01(img: Image.Image) -> np.ndarray:
+    """PIL → float32 HWC in [0,1] (ToTensor semantics, channel-last)."""
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+def normalize_pm1(arr01: np.ndarray) -> np.ndarray:
+    """Normalize((0.5,)*3, (0.5,)*3): [0,1] → [-1,1]."""
+    return arr01 * 2.0 - 1.0
+
+
+def mask_to_array(mask: Image.Image) -> np.ndarray:
+    """Reference mask loading heuristic (utils.py:316-321): masks stored as
+    {0,1} are rescaled ×255 after ToTensor; {0,255} masks pass through. Both
+    end as float {0,1} HW1."""
+    arr = np.asarray(mask)
+    if arr.ndim == 3:
+        arr = arr[..., 0]
+    arr = arr.astype(np.float32)
+    if arr.max() == 1:
+        pass                      # already 0/1
+    else:
+        arr = arr / 255.0
+    return arr[:, :, None]
+
+
+def semantic_to_classes(sem: Image.Image) -> np.ndarray:
+    """Grayscale semantic PNG → int32 HW class map via the value table."""
+    arr = np.asarray(sem.convert("L"), dtype=np.uint8)
+    return _SEM_LUT[arr].astype(np.int32)
+
+
+def image_transform(rng: Optional[np.random.Generator], img: Image.Image,
+                    new_size: Optional[int], th: int, tw: int,
+                    train: bool, do_crop: bool = True) -> np.ndarray:
+    """Single-image pipeline (get_data_loader_list, utils.py:192-250)."""
+    if train and rng is not None and rng.random() < 0.5:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    if new_size is not None:
+        img = resize_shorter(img, new_size)
+    if do_crop:
+        if train and rng is not None:
+            i, j, h, w = crop_params(rng, img, th, tw)
+        else:
+            # test loaders pass height=width=new_size; RandomCrop on an
+            # exactly-sized image is identity, so use a center crop for safety
+            w0, h0 = img.size
+            i, j, h, w = (h0 - th) // 2, (w0 - tw) // 2, th, tw
+        img = crop(img, i, j, h, w)
+    return normalize_pm1(to_array01(img))
+
+
+def image_mask_transform(rng: np.random.Generator, img: Image.Image,
+                         mask: Optional[Image.Image], new_size: int,
+                         th: int, tw: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Joint image+mask pipeline (MyDataset.transform, utils.py:287-337):
+    shared flip, image resized BILINEAR, mask resized NEAREST to the image
+    size, shared crop."""
+    flip = rng.random() > 0.5
+    if flip:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    img = resize_shorter(img, new_size)
+    i, j, h, w = crop_params(rng, img, th, tw)
+    out = normalize_pm1(to_array01(crop(img, i, j, h, w)))
+    if mask is None:
+        return out, np.zeros((th, tw, 1), np.float32)
+    if flip:
+        mask = mask.transpose(Image.FLIP_LEFT_RIGHT)
+    mask = mask.resize(img.size, Image.NEAREST)
+    m = mask_to_array(crop(mask, i, j, h, w))
+    return out, m
+
+
+def synthetic_transform(rng: np.random.Generator, img_a: Image.Image,
+                        img_b: Image.Image, mask: Image.Image,
+                        sem_a: Image.Image, sem_b: Image.Image,
+                        new_size: int, th: int, tw: int):
+    """Joint 5-tuple pipeline (MyDatasetSynthetic.transform,
+    utils.py:483-553): shared flip/crop; images BILINEAR, mask+semantics
+    NEAREST; mask binarized at 0.5; semantics value-mapped to class ids."""
+    if rng.random() > 0.5:
+        img_a = img_a.transpose(Image.FLIP_LEFT_RIGHT)
+        img_b = img_b.transpose(Image.FLIP_LEFT_RIGHT)
+        mask = mask.transpose(Image.FLIP_LEFT_RIGHT)
+        sem_a = sem_a.transpose(Image.FLIP_LEFT_RIGHT)
+        sem_b = sem_b.transpose(Image.FLIP_LEFT_RIGHT)
+    img_a = resize_shorter(img_a, new_size)
+    img_b = resize_shorter(img_b, new_size)
+    mask = mask.resize(img_b.size, Image.NEAREST)
+    sem_a = sem_a.resize(img_b.size, Image.NEAREST)
+    sem_b = sem_b.resize(img_b.size, Image.NEAREST)
+    i, j, h, w = crop_params(rng, img_b, th, tw)
+    a = normalize_pm1(to_array01(crop(img_a, i, j, h, w)))
+    b = normalize_pm1(to_array01(crop(img_b, i, j, h, w)))
+    m = mask_to_array(crop(mask, i, j, h, w))
+    m = (m > 0.5).astype(np.float32)
+    sa = semantic_to_classes(crop(sem_a, i, j, h, w))
+    sb = semantic_to_classes(crop(sem_b, i, j, h, w))
+    return a, b, m, sa, sb

@@ -1,0 +1,3 @@
+from munit_tpu.dist.mesh import (  # noqa: F401
+    make_mesh, data_sharding, replicated, shard_batch, unreplicate,
+)

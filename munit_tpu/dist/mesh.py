@@ -1,0 +1,68 @@
+"""Device mesh + sharding layer — the framework's entire "communication
+backend" (SURVEY.md §5.8).
+
+The reference is single-GPU with no distributed code (§2.9); the TPU-native
+scaling story is:
+- a ``jax.sharding.Mesh`` over all chips with a ``data`` axis (optional
+  ``spatial`` axis for HD activation sharding, §5.7);
+- batch-sharded inputs (NamedSharding over ``data``), replicated params;
+- jit compiles the gradient mean into ICI all-reduces — no NCCL/MPI
+  equivalent exists or is needed;
+- multi-host: per-host loaders feed disjoint shards
+  (``DataLoader(shard_index=process_index, shard_count=process_count)``) and
+  ``jax.make_array_from_process_local_data`` assembles global arrays; DCN is
+  handled by the runtime.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              spatial: int = 1) -> Mesh:
+    """Mesh over all (or given) devices: axes (data, spatial)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % spatial != 0:
+        raise ValueError(f"{n} devices not divisible by spatial={spatial}")
+    arr = np.asarray(devices).reshape(n // spatial, spatial)
+    return Mesh(arr, ("data", "spatial"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch axis over ``data``; H over ``spatial`` when that axis is >1."""
+    if mesh.shape["spatial"] > 1:
+        return NamedSharding(mesh, P("data", "spatial"))
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host-local batch dict onto the mesh, batch-sharded."""
+    sh = data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate_state(mesh: Mesh, state):
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, rep), state)
+
+
+def unreplicate(tree):
+    """Fetch one copy of a replicated pytree to host."""
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def make_global_batch(mesh: Mesh, local_batch):
+    """Multi-host: assemble per-process local shards into global arrays."""
+    sh = data_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, x), local_batch)

@@ -1,0 +1,147 @@
+"""PyTorch reference-checkpoint → munit_tpu param-pytree converter.
+
+Understands the reference's state_dict layouts (trainer.py:1387-1429):
+- ``gen_%08d.pt``: {"2": dual-gen state_dict} (gen_state=1) or
+  {"a": ..., "b": ...} (gen_state=0), key layout per networks.py.
+- ``dis_%08d.pt``: {"a": ..., "b": ...} MsImageDis state_dicts.
+
+Transforms applied:
+- conv weights OIHW → HWIO; linear weights (out,in) → (in,out);
+- AdaIN dummy running-stat buffers dropped (networks.py:820-821);
+- custom-LayerNorm gamma/beta → ln_gamma/ln_beta.
+
+Structure mapping (torch key → flax path), derived from the Sequential layouts
+in networks.py (cited in each helper below).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+Array = np.ndarray
+StateDict = Dict[str, Array]
+
+
+def _conv(sd: StateDict, tkey: str) -> dict:
+    """Bare nn.Conv2d / Conv2dBlock.conv → ConvBlock params."""
+    out = {
+        "kernel": np.transpose(sd[f"{tkey}.weight"], (2, 3, 1, 0)),
+        "bias": sd[f"{tkey}.bias"],
+    }
+    return out
+
+
+def _conv_block(sd: StateDict, tkey: str) -> dict:
+    """Conv2dBlock (networks.py:627-701): .conv + optional .norm (ln only)."""
+    out = _conv(sd, f"{tkey}.conv")
+    if f"{tkey}.norm.gamma" in sd:
+        out["ln_gamma"] = sd[f"{tkey}.norm.gamma"]
+        out["ln_beta"] = sd[f"{tkey}.norm.beta"]
+    return out
+
+
+def _linear_block(sd: StateDict, tkey: str) -> dict:
+    return {
+        "kernel": np.transpose(sd[f"{tkey}.fc.weight"], (1, 0)),
+        "bias": sd[f"{tkey}.fc.bias"],
+    }
+
+
+def _style_encoder(sd: StateDict, prefix: str, n_downsample: int = 4) -> dict:
+    """StyleEncoder (networks.py:442-477): model.0..(n_conv-1) conv blocks,
+    model.{n_conv} pool (paramless), model.{n_conv+1} bare 1x1 conv."""
+    n_conv = 1 + 2 + (n_downsample - 2)
+    out = {f"layer_{i}": _conv_block(sd, f"{prefix}.model.{i}")
+           for i in range(n_conv)}
+    out["out_conv"] = _conv(sd, f"{prefix}.model.{n_conv + 1}")
+    return out
+
+
+def _res_blocks(sd: StateDict, prefix: str, n_res: int) -> dict:
+    """ResBlocks (networks.py:569-580): model.{j}.model.{c} conv blocks."""
+    return {
+        f"block_{j}": {
+            f"conv_{c}": _conv_block(sd, f"{prefix}.model.{j}.model.{c}")
+            for c in range(2)}
+        for j in range(n_res)}
+
+
+def _content_encoder(sd: StateDict, prefix: str, n_downsample: int,
+                     n_res: int) -> dict:
+    """ContentEncoder (networks.py:480-512): model.0..n_down conv blocks,
+    model.{n_down+1} ResBlocks."""
+    out = {f"layer_{i}": _conv_block(sd, f"{prefix}.model.{i}")
+           for i in range(n_downsample + 1)}
+    out["res"] = _res_blocks(sd, f"{prefix}.model.{n_downsample + 1}", n_res)
+    return out
+
+
+def _decoder(sd: StateDict, prefix: str, n_upsample: int, n_res: int) -> dict:
+    """Decoder (networks.py:515-563): model.0 ResBlocks, then per upsample
+    [Upsample (paramless), ConvBlock] at 2i+1 / 2i+2, final ConvBlock."""
+    out = {"res": _res_blocks(sd, f"{prefix}.model.0", n_res)}
+    for i in range(n_upsample):
+        out[f"up_{i}"] = _conv_block(sd, f"{prefix}.model.{2 * i + 2}")
+    out["out_conv"] = _conv_block(sd, f"{prefix}.model.{2 * n_upsample + 1}")
+    return out
+
+
+def _mlp(sd: StateDict, prefix: str, n_blk: int = 3) -> dict:
+    """MLP (networks.py:583-597): model.{i}.fc linear blocks."""
+    return {f"fc_{i}": _linear_block(sd, f"{prefix}.model.{i}")
+            for i in range(n_blk)}
+
+
+def convert_gen_state_dict(sd: StateDict, gen_conf: dict,
+                           dual: bool = True) -> dict:
+    """Convert an AdaINGen / AdaINGen_double state_dict to flax params."""
+    nd, nr = gen_conf["n_downsample"], gen_conf["n_res"]
+    if dual:
+        return {
+            "enc_style": _style_encoder(sd, "enc_style"),
+            "enc1_content": _content_encoder(sd, "enc1_content", nd, nr),
+            "enc2_content": _content_encoder(sd, "enc2_content", nd, nr),
+            "dec1": _decoder(sd, "dec1", nd, nr),
+            "dec2": _decoder(sd, "dec2", nd, nr),
+            "mlp1": _mlp(sd, "mlp1"),
+            "mlp2": _mlp(sd, "mlp2"),
+        }
+    return {
+        "enc_style": _style_encoder(sd, "enc_style"),
+        "enc_content": _content_encoder(sd, "enc_content", nd, nr),
+        "dec": _decoder(sd, "dec", nd, nr),
+        "mlp": _mlp(sd, "mlp"),
+    }
+
+
+def convert_dis_state_dict(sd: StateDict, dis_conf: dict) -> dict:
+    """MsImageDis (networks.py:20-70): cnns.{s}.{i} conv blocks + bare last."""
+    n_layer = dis_conf["n_layer"]
+    out = {}
+    for s in range(dis_conf["num_scales"]):
+        cnn = {f"layer_{i}": _conv_block(sd, f"cnns.{s}.{i}")
+               for i in range(n_layer)}
+        cnn["out_conv"] = _conv(sd, f"cnns.{s}.{n_layer}")
+        out[f"cnn_{s}"] = cnn
+    return out
+
+
+def _to_numpy_state_dict(obj) -> StateDict:
+    out = {}
+    for k, v in obj.items():
+        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, StateDict]:
+    """Load a reference ``.pt`` checkpoint into {slot: numpy state_dict}.
+
+    Slots follow trainer.py:1387-1429: "2" (dual gen), "a"/"b" (single gens or
+    discriminators), "d" (domain classifier).
+    """
+    import torch  # local import: torch is only needed for checkpoint migration
+    blob = torch.load(path, map_location="cpu", weights_only=True)
+    return {slot: _to_numpy_state_dict(sd) for slot, sd in blob.items()}

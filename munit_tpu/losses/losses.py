@@ -1,0 +1,166 @@
+"""Loss functions — pure, NHWC, mirror the reference's math exactly.
+
+Citations into /root/reference/scripts:
+- recon_l1 / recon_l1_masked  : trainer.py:279-305
+- dis_gan_loss / gen_gan_loss : networks.py:79-115 (lsgan / nsgan)
+- *_sr variants               : networks.py:117-162 (gen target 0.5)
+- classifier_sr_loss          : trainer.py:638-667
+- domain_adv_loss             : trainer.py:669-704 (generalized to any batch
+                                size — the reference hardcodes batch 2)
+- semantic_seg_loss_masked    : trainer.py:706-771 (mask-as-extra-logit-channel)
+- vgg_perceptual_loss         : trainer.py:618-636
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Reconstruction
+# ---------------------------------------------------------------------------
+
+
+def recon_l1(x: jax.Array, y: jax.Array) -> jax.Array:
+    return jnp.mean(jnp.abs(x - y))
+
+
+def recon_l1_masked(x: jax.Array, y: jax.Array, mask: jax.Array) -> jax.Array:
+    """L1 over the UNmasked region only: mean(|(x-y) * (1-mask)|).
+
+    Note the reference divides by the full element count, not the unmasked
+    count (trainer.py:292-305) — preserved exactly. mask broadcasts over C.
+    """
+    return jnp.mean(jnp.abs((x - y) * (1.0 - mask)))
+
+
+# ---------------------------------------------------------------------------
+# GAN losses over multi-scale discriminator outputs
+# ---------------------------------------------------------------------------
+
+
+def _bce_with_logits(logits, targets):
+    # mean BCE(sigmoid(logits), targets), numerically stable
+    return jnp.mean(jnp.maximum(logits, 0) - logits * targets +
+                    jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+def dis_gan_loss(outs_fake: Sequence[jax.Array], outs_real: Sequence[jax.Array],
+                 gan_type: str = "lsgan") -> jax.Array:
+    loss = 0.0
+    for o_f, o_r in zip(outs_fake, outs_real):
+        if gan_type == "lsgan":
+            loss += jnp.mean(jnp.square(o_f)) + jnp.mean(jnp.square(o_r - 1.0))
+        elif gan_type == "nsgan":
+            loss += _bce_with_logits(o_f, jnp.zeros_like(o_f)) + \
+                _bce_with_logits(o_r, jnp.ones_like(o_r))
+        else:
+            raise ValueError(f"Unsupported GAN type: {gan_type}")
+    return loss
+
+
+def gen_gan_loss(outs_fake: Sequence[jax.Array],
+                 gan_type: str = "lsgan") -> jax.Array:
+    loss = 0.0
+    for o in outs_fake:
+        if gan_type == "lsgan":
+            loss += jnp.mean(jnp.square(o - 1.0))
+        elif gan_type == "nsgan":
+            loss += _bce_with_logits(o, jnp.ones_like(o))
+        else:
+            raise ValueError(f"Unsupported GAN type: {gan_type}")
+    return loss
+
+
+def dis_sr_loss(outs_sim: Sequence[jax.Array],
+                outs_real: Sequence[jax.Array]) -> jax.Array:
+    """Sim/real output discriminator training loss: sim→0, real→1 (lsgan)."""
+    return dis_gan_loss(outs_sim, outs_real, "lsgan")
+
+
+def gen_sr_loss(outs: Sequence[jax.Array]) -> jax.Array:
+    """Fool the sim/real output discriminator toward 0.5 (networks.py:151-152)."""
+    loss = 0.0
+    for o in outs:
+        loss += jnp.mean(jnp.square(o - 0.5))
+    return loss
+
+
+# ---------------------------------------------------------------------------
+# Feature-level domain classifiers
+# ---------------------------------------------------------------------------
+
+
+def classifier_sr_loss(out_a: jax.Array, out_b: jax.Array,
+                       domain_synth: bool, fool: bool) -> jax.Array:
+    """Sim/real feature-classifier loss (trainer.py:638-667)."""
+    if fool:
+        t = 0.5
+    elif domain_synth:
+        t = 0.0
+    else:
+        t = 1.0
+    return jnp.mean(jnp.square(out_a - t)) + jnp.mean(jnp.square(out_b - t))
+
+
+def domain_adv_loss(out_a: jax.Array, out_b: jax.Array,
+                    minimize: bool) -> jax.Array:
+    """A/B content-domain classifier loss (trainer.py:669-704).
+
+    minimize=True  → classify correctly: A→1, B→0;
+    minimize=False → anonymize: both → 0.5.
+    MSE over the concatenated outputs (reference's hardcoded batch-2 targets
+    generalized to any batch size — SURVEY.md §7 bug policy).
+    """
+    if minimize:
+        t_a, t_b = 1.0, 0.0
+    else:
+        t_a = t_b = 0.5
+    out = jnp.concatenate([out_a.reshape(-1), out_b.reshape(-1)])
+    tgt = jnp.concatenate([jnp.full(out_a.size, t_a), jnp.full(out_b.size, t_b)])
+    return jnp.mean(jnp.square(out - tgt))
+
+
+# ---------------------------------------------------------------------------
+# Semantic segmentation
+# ---------------------------------------------------------------------------
+
+
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean softmax cross-entropy. logits NHWC (or (B,C)), labels int."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)
+
+
+def semantic_seg_loss_masked(logits: jax.Array, target: jax.Array,
+                             mask: jax.Array, num_classes: int) -> jax.Array:
+    """The reference's mask-as-extra-logit-channel construction
+    (trainer.py:744-767):
+    - masked pixels are relabeled to ``num_classes`` ("unknown"),
+    - logits are zeroed on masked pixels and the mask itself is concatenated
+      as the extra logit channel, so CE there is computed against a
+      delta-ish distribution and contributes ~0 gradient.
+
+    logits: (B,H,W,C); target: (B,H,W) int; mask: (B,H,W) float in {0,1}.
+    """
+    m_long = mask.astype(jnp.int32)
+    target_with_mask = (1 - m_long) * target + m_long * num_classes
+    logits_masked = logits * (1.0 - mask)[..., None]
+    logits_cat = jnp.concatenate([logits_masked, mask[..., None]], axis=-1)
+    return cross_entropy_loss(logits_cat, target_with_mask)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual
+# ---------------------------------------------------------------------------
+
+
+def vgg_perceptual_loss(feat_img: jax.Array, feat_target: jax.Array) -> jax.Array:
+    """MSE between instance-normalized relu5_3 features (trainer.py:618-636)."""
+    from munit_tpu.core import ops
+    return jnp.mean(jnp.square(ops.instance_norm(feat_img) -
+                               ops.instance_norm(feat_target)))

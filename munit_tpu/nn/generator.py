@@ -1,0 +1,277 @@
+"""MUNIT generators, TPU-native.
+
+Architectures mirror /root/reference/scripts/networks.py but are functional:
+the style MLP's output is split into per-layer (gamma, beta) pairs and passed
+DOWN the decoder call, replacing the reference's in-place module mutation
+(networks.py:223-239 ``assign_adain_params``).
+
+Layout: NHWC. Style codes are (B, style_dim) vectors (the reference carries
+(B, style_dim, 1, 1)).
+
+AdaIN parameter layout matches the reference consumption order
+(networks.py:230-239): traversing decoder res-blocks in order, each AdaIN layer
+takes ``[beta(C), gamma(C)]`` (the reference calls them mean/std) from the
+front of the MLP output.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from munit_tpu.core import ops, init
+from munit_tpu.nn.blocks import AdainPair, ConvBlock, MLP, ResBlocks
+
+
+class StyleEncoder(nn.Module):
+    """networks.py:442-477. 7x7 s1 → 2 doubling 4x4 s2 → (n_downsample-2)
+    non-doubling 4x4 s2 → GAP → 1x1 conv → (B, style_dim)."""
+
+    n_downsample: int
+    dim: int
+    style_dim: int
+    activ: str = "relu"
+    pad_type: str = "reflect"
+    kernel_init: Callable = init.kaiming_normal
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dim = self.dim
+        x = ConvBlock(dim, 7, 1, 3, norm="none", activ=self.activ,
+                      pad_type=self.pad_type, kernel_init=self.kernel_init,
+                      name="layer_0")(x)
+        li = 1
+        for _ in range(2):
+            x = ConvBlock(2 * dim, 4, 2, 1, norm="none", activ=self.activ,
+                          pad_type=self.pad_type, kernel_init=self.kernel_init,
+                          name=f"layer_{li}")(x)
+            dim *= 2
+            li += 1
+        for _ in range(self.n_downsample - 2):
+            x = ConvBlock(dim, 4, 2, 1, norm="none", activ=self.activ,
+                          pad_type=self.pad_type, kernel_init=self.kernel_init,
+                          name=f"layer_{li}")(x)
+            li += 1
+        x = ops.global_avg_pool(x)
+        x = ConvBlock(self.style_dim, 1, 1, 0, norm="none", activ="none",
+                      pad_type="zero", kernel_init=self.kernel_init,
+                      name="out_conv")(x)
+        return x.reshape(x.shape[0], self.style_dim)
+
+
+class ContentEncoder(nn.Module):
+    """networks.py:480-512. 7x7 s1 IN → n_downsample doubling 4x4 s2 IN →
+    n_res IN res blocks. Output (B, H/2^n, W/2^n, dim*2^n)."""
+
+    n_downsample: int
+    n_res: int
+    dim: int
+    norm: str = "in"
+    activ: str = "relu"
+    pad_type: str = "reflect"
+    kernel_init: Callable = init.kaiming_normal
+
+    @property
+    def output_dim(self) -> int:
+        return self.dim * (2 ** self.n_downsample)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dim = self.dim
+        x = ConvBlock(dim, 7, 1, 3, norm=self.norm, activ=self.activ,
+                      pad_type=self.pad_type, kernel_init=self.kernel_init,
+                      name="layer_0")(x)
+        for i in range(self.n_downsample):
+            x = ConvBlock(2 * dim, 4, 2, 1, norm=self.norm, activ=self.activ,
+                          pad_type=self.pad_type, kernel_init=self.kernel_init,
+                          name=f"layer_{i + 1}")(x)
+            dim *= 2
+        x = ResBlocks(self.n_res, dim, norm=self.norm, activ=self.activ,
+                      pad_type=self.pad_type, kernel_init=self.kernel_init,
+                      name="res")(x)
+        return x
+
+
+class Decoder(nn.Module):
+    """networks.py:515-563. n_res AdaIN res blocks → n_upsample ×
+    [2x nearest upsample, 5x5 conv + custom-LN + act] → 7x7 conv + tanh."""
+
+    n_upsample: int
+    n_res: int
+    dim: int           # content dim entering the decoder
+    output_dim: int    # image channels
+    res_norm: str = "adain"
+    activ: str = "relu"
+    pad_type: str = "reflect"
+    kernel_init: Callable = init.kaiming_normal
+
+    @property
+    def num_adain_params(self) -> int:
+        # 2 convs per res block, 2*dim params per AdaIN layer
+        return self.n_res * 2 * 2 * self.dim if self.res_norm == "adain" else 0
+
+    def split_adain_params(self, adain_params: jax.Array) -> List[AdainPair]:
+        """Split the MLP output (B, num_adain) into per-layer (gamma, beta).
+
+        Consumption order matches networks.py:230-239: per AdaIN layer, the
+        first ``dim`` entries are the shift (reference "mean"/bias) and the
+        next ``dim`` the scale (reference "std"/weight).
+        """
+        pairs: List[AdainPair] = []
+        off = 0
+        for _ in range(self.n_res * 2):
+            beta = adain_params[:, off:off + self.dim]
+            gamma = adain_params[:, off + self.dim:off + 2 * self.dim]
+            pairs.append((gamma, beta))
+            off += 2 * self.dim
+        return pairs
+
+    @nn.compact
+    def __call__(self, x: jax.Array, adain_params: jax.Array | None = None) -> jax.Array:
+        pairs = (self.split_adain_params(adain_params)
+                 if self.res_norm == "adain" else None)
+        dim = self.dim
+        x = ResBlocks(self.n_res, dim, norm=self.res_norm, activ=self.activ,
+                      pad_type=self.pad_type, kernel_init=self.kernel_init,
+                      name="res")(x, pairs)
+        for i in range(self.n_upsample):
+            x = ops.upsample_nearest(x, 2)
+            x = ConvBlock(dim // 2, 5, 1, 2, norm="ln", activ=self.activ,
+                          pad_type=self.pad_type, kernel_init=self.kernel_init,
+                          name=f"up_{i}")(x)
+            dim //= 2
+        x = ConvBlock(self.output_dim, 7, 1, 3, norm="none", activ="tanh",
+                      pad_type=self.pad_type, kernel_init=self.kernel_init,
+                      name="out_conv")(x)
+        return x
+
+
+class AdaINGen(nn.Module):
+    """Single-domain MUNIT auto-encoder (gen_state=0; networks.py:170-254)."""
+
+    input_dim: int
+    dim: int
+    style_dim: int
+    n_downsample: int
+    n_res: int
+    mlp_dim: int
+    activ: str = "relu"
+    pad_type: str = "reflect"
+    kernel_init: Callable = init.kaiming_normal
+
+    def setup(self):
+        self.enc_style = StyleEncoder(
+            4, self.dim, self.style_dim, self.activ, self.pad_type,
+            self.kernel_init)
+        self.enc_content = ContentEncoder(
+            self.n_downsample, self.n_res, self.dim, "in", self.activ,
+            self.pad_type, self.kernel_init)
+        content_dim = self.dim * (2 ** self.n_downsample)
+        self.dec = Decoder(
+            self.n_downsample, self.n_res, content_dim, self.input_dim,
+            "adain", self.activ, self.pad_type, self.kernel_init)
+        self.mlp = MLP(self.dec.num_adain_params, self.mlp_dim, 3, self.activ,
+                       self.kernel_init)
+
+    def encode(self, images: jax.Array):
+        return self.enc_content(images), self.enc_style(images)
+
+    def decode(self, content: jax.Array, style: jax.Array) -> jax.Array:
+        return self.dec(content, self.mlp(style))
+
+    def get_adain_params(self, style: jax.Array) -> jax.Array:
+        return self.mlp(style)
+
+    def __call__(self, images: jax.Array) -> jax.Array:
+        content, style = self.encode(images)
+        return self.decode(content, style)
+
+
+class AdaINGenDual(nn.Module):
+    """The fork's default generator (gen_state=1; networks.py:262-388):
+    ONE shared style encoder, per-domain content encoders / decoders / MLPs.
+    ``domain`` is a static Python int in {1, 2}."""
+
+    input_dim: int
+    dim: int
+    style_dim: int
+    n_downsample: int
+    n_res: int
+    mlp_dim: int
+    activ: str = "relu"
+    pad_type: str = "reflect"
+    kernel_init: Callable = init.kaiming_normal
+
+    def setup(self):
+        mk_enc = lambda: ContentEncoder(
+            self.n_downsample, self.n_res, self.dim, "in", self.activ,
+            self.pad_type, self.kernel_init)
+        content_dim = self.dim * (2 ** self.n_downsample)
+        mk_dec = lambda: Decoder(
+            self.n_downsample, self.n_res, content_dim, self.input_dim,
+            "adain", self.activ, self.pad_type, self.kernel_init)
+        self.enc_style = StyleEncoder(
+            4, self.dim, self.style_dim, self.activ, self.pad_type,
+            self.kernel_init)
+        self.enc1_content = mk_enc()
+        self.enc2_content = mk_enc()
+        self.dec1 = mk_dec()
+        self.dec2 = mk_dec()
+        num_adain = self.dec1.num_adain_params
+        self.mlp1 = MLP(num_adain, self.mlp_dim, 3, self.activ, self.kernel_init)
+        self.mlp2 = MLP(num_adain, self.mlp_dim, 3, self.activ, self.kernel_init)
+
+    def encode(self, images: jax.Array, domain: int):
+        style = self.enc_style(images)
+        content = (self.enc1_content if domain == 1 else self.enc2_content)(images)
+        return content, style
+
+    def decode(self, content: jax.Array, style: jax.Array, domain: int) -> jax.Array:
+        if domain == 1:
+            return self.dec1(content, self.mlp1(style))
+        return self.dec2(content, self.mlp2(style))
+
+    def get_adain_params(self, style: jax.Array, domain: int) -> jax.Array:
+        return (self.mlp1 if domain == 1 else self.mlp2)(style)
+
+    def __call__(self, images: jax.Array, domain: int = 1) -> jax.Array:
+        content, style = self.encode(images, domain)
+        return self.decode(content, style, domain)
+
+
+class VAEGen(nn.Module):
+    """UNIT-style VAE generator (networks.py:391-434). Unused by the reference
+    entry points but part of the model zoo for parity."""
+
+    input_dim: int
+    dim: int
+    n_downsample: int
+    n_res: int
+    activ: str = "relu"
+    pad_type: str = "reflect"
+    kernel_init: Callable = init.kaiming_normal
+
+    def setup(self):
+        self.enc = ContentEncoder(
+            self.n_downsample, self.n_res, self.dim, "in", self.activ,
+            self.pad_type, self.kernel_init)
+        content_dim = self.dim * (2 ** self.n_downsample)
+        self.dec = Decoder(
+            self.n_downsample, self.n_res, content_dim, self.input_dim,
+            "in", self.activ, self.pad_type, self.kernel_init)
+
+    def encode(self, images: jax.Array, rng: jax.Array):
+        hiddens = self.enc(images)
+        noise = jax.random.normal(rng, hiddens.shape, hiddens.dtype)
+        return hiddens, noise
+
+    def decode(self, hiddens: jax.Array) -> jax.Array:
+        return self.dec(hiddens)
+
+    def __call__(self, images: jax.Array, rng: jax.Array,
+                 training: bool = True):
+        hiddens, noise = self.encode(images, rng)
+        return self.decode(hiddens + noise if training else hiddens), hiddens

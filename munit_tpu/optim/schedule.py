@@ -1,0 +1,24 @@
+"""Learning-rate schedules.
+
+The reference uses torch StepLR stepped once per training iteration
+(utils.py:1035-1060; train.py:172): lr(it) = lr0 * gamma^(it // step_size).
+``lr_policy: constant`` → no decay.
+"""
+
+from __future__ import annotations
+
+
+def step_lr(lr0: float, step_size: int, gamma: float):
+    def schedule(iteration: int) -> float:
+        return lr0 * (gamma ** (iteration // step_size))
+    return schedule
+
+
+def from_config(hp: dict):
+    policy = hp.get("lr_policy", "constant")
+    lr0 = hp["lr"]
+    if policy == "constant":
+        return lambda it: lr0
+    if policy == "step":
+        return step_lr(lr0, hp["step_size"], hp["gamma"])
+    raise NotImplementedError(f"learning rate policy [{policy}] is not implemented")

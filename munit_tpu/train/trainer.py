@@ -1,0 +1,654 @@
+"""TPU-native MUNIT training engine.
+
+Reimplements the reference MUNIT_Trainer (trainer.py:29-1429) as a set of
+jitted functional train steps over an explicit state pytree:
+
+- ``dis_step``   ≙ dis_update      (trainer.py:1133-1190)
+- ``gen_step``   ≙ gen_update      (trainer.py:336-616) incl. semantic /
+  domain-adv / sim-real / synthetic-pair loss terms
+- ``dann_step``  ≙ domain_classifier_update       (trainer.py:1192-1235)
+- ``classifier_sr_step`` ≙ domain_classifier_sr_update (trainer.py:1237-1265)
+- ``output_classifier_sr_step`` ≙ output_domain_classifier_sr_update
+  (trainer.py:1267-1284)
+- ``seg_head_step`` ≙ segmentation_head_update    (trainer.py:1286-1324)
+
+TPU-first design choices:
+- one state pytree donated into each jitted step (no in-place module state);
+- ``stop_gradient`` placement mirrors the reference's ``.detach()`` /
+  optimizer-partition semantics exactly;
+- the ExtraAdam even/odd extrapolation cadence (trainer.py:225-277) is a
+  traced bool so a single compiled step serves both phases;
+- loss weights and cadence flags are Python constants baked into the traced
+  function (they are fixed per config);
+- frozen nets (segmenter) are passed as non-donated side inputs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from munit_tpu.core import init as winit
+from munit_tpu.core import ops
+from munit_tpu import losses
+from munit_tpu.nn import AdaINGen, AdaINGenDual, MsImageDis
+from munit_tpu.nn.classifiers import DomainClassifier
+from munit_tpu.nn.resnet import ResNet34_8s, SegmentationHead, seg_preprocess
+from munit_tpu.optim import extra_adam_init, extra_adam_update
+from munit_tpu.optim.schedule import from_config as schedule_from_config
+
+Params = Any
+
+
+# 19 Cityscapes classes → 10 meta-classes (merge_classes, utils.py:1330-1353).
+# Class 0 has no sources → all-zero logits, exactly like the reference.
+_MERGE_GROUPS = {9: [14, 15, 16], 8: [13, 17, 18], 7: [11, 12], 6: [10],
+                 5: [9], 4: [8], 3: [5, 6, 7], 2: [2, 3, 4], 1: [0, 1], 0: []}
+
+
+def merge_class_matrix() -> np.ndarray:
+    m = np.zeros((19, 10), np.float32)
+    for k, srcs in _MERGE_GROUPS.items():
+        for s in srcs:
+            m[s, k] = 1.0
+    return m
+
+
+class GenBundle:
+    """Uniform interface over gen_state 0 (two AdaINGen) and 1 (dual)."""
+
+    def __init__(self, conf: Dict):
+        g = conf["gen"]
+        self.gen_state = conf["gen_state"]
+        self.style_dim = g["style_dim"]
+        kernel_init = winit.by_name(conf.get("init", "kaiming"))
+        kwargs = dict(input_dim=conf["input_dim_a"], dim=g["dim"],
+                      style_dim=g["style_dim"], n_downsample=g["n_downsample"],
+                      n_res=g["n_res"], mlp_dim=g["mlp_dim"], activ=g["activ"],
+                      pad_type=g["pad_type"], kernel_init=kernel_init)
+        if self.gen_state == 1:
+            self.module = AdaINGenDual(**kwargs)
+        else:
+            self.module = AdaINGen(**kwargs)
+
+    def init(self, rng: jax.Array, sample: jax.Array) -> Params:
+        if self.gen_state == 1:
+            def touch_both(mdl, x):
+                c1, s = mdl.encode(x, 1)
+                c2, _ = mdl.encode(x, 2)
+                return mdl.decode(c1, s, 1), mdl.decode(c2, s, 2)
+            return self.module.init(rng, sample, method=touch_both)["params"]
+        ra, rb = jax.random.split(rng)
+        return {"a": self.module.init(ra, sample)["params"],
+                "b": self.module.init(rb, sample)["params"]}
+
+    def encode(self, params: Params, x: jax.Array, domain: int):
+        if self.gen_state == 1:
+            return self.module.apply({"params": params}, x, domain,
+                                     method="encode")
+        p = params["a"] if domain == 1 else params["b"]
+        return self.module.apply({"params": p}, x, method="encode")
+
+    def decode(self, params: Params, c: jax.Array, s: jax.Array, domain: int):
+        if self.gen_state == 1:
+            return self.module.apply({"params": params}, c, s, domain,
+                                     method="decode")
+        p = params["a"] if domain == 1 else params["b"]
+        return self.module.apply({"params": p}, c, s, method="decode")
+
+
+class MUNITTrainer:
+    """Python driver owning config, module defs, jitted steps, and cadences."""
+
+    def __init__(self, conf: Dict, rng: jax.Array,
+                 image_size: Optional[int] = None, dtype=jnp.float32):
+        self.conf = conf
+        self.dtype = dtype
+        self.guided = conf["guided"]
+        self.gan_type = conf["dis"]["gan_type"]
+        self.crop = image_size or conf["crop_image_height"]
+        self.style_dim = conf["gen"]["style_dim"]
+        self.use_extra = "extra" in conf["optimizer"]
+        self.recon_mask = conf["recon_mask"] == 1
+        self.semantic_w = conf["semantic_w"] > 0
+        self.domain_adv_w = conf["domain_adv_w"] > 0
+        ad = conf["adaptation"]
+        self.full_adaptation = ad["full_adaptation"] == 1
+        self.use_classifier_sr = ad["dfeat_lambda"] > 0
+        self.use_output_classifier_sr = ad["output_classifier_lambda"] > 0
+        self.train_seg = ad["sem_seg_lambda"] > 0
+        self.lr_schedule = schedule_from_config(conf)
+        self.iterations = 0
+
+        self.gen = GenBundle(conf)
+        d = conf["dis"]
+        self.dis = MsImageDis(
+            input_dim=conf["input_dim_a"], n_layer=d["n_layer"], dim=d["dim"],
+            norm=d["norm"], activ=d["activ"], num_scales=d["num_scales"],
+            pad_type=d["pad_type"], gan_type=d["gan_type"],
+            kernel_init=winit.gaussian)
+        self.dann_def = DomainClassifier()
+        self.seg_model_def = ResNet34_8s(num_classes=19)
+        self.seg_head_def = SegmentationHead(num_classes=10)
+        self.merge_m = jnp.asarray(merge_class_matrix())
+
+        self.frozen: Dict[str, Any] = {}  # e.g. "seg": segmenter variables
+        self.state = self._init_state(rng)
+        self._build_steps()
+
+    # ------------------------------------------------------------------ init
+
+    def _init_state(self, rng: jax.Array) -> Dict[str, Any]:
+        conf = self.conf
+        keys = jax.random.split(rng, 12)
+        sample = jnp.zeros((1, self.crop, self.crop, conf["input_dim_a"]),
+                           self.dtype)
+        display = int(conf["display_size"])
+        state: Dict[str, Any] = {
+            "step": jnp.zeros((), jnp.int32),
+            "rng": keys[0],
+            "gen": self.gen.init(keys[1], sample),
+            "dis_a": self.dis.init(keys[2], sample)["params"],
+            "dis_b": self.dis.init(keys[3], sample)["params"],
+            "display_s_a": jax.random.normal(keys[4], (display, self.style_dim)),
+            "display_s_b": jax.random.normal(keys[5], (display, self.style_dim)),
+        }
+        state["gen_opt"] = extra_adam_init(state["gen"])
+        state["dis_opt"] = extra_adam_init(
+            {"a": state["dis_a"], "b": state["dis_b"]})
+
+        g = conf["gen"]
+        cdim = g["dim"] * (2 ** g["n_downsample"])
+        cres = self.crop // (2 ** g["n_downsample"])
+        content = jnp.zeros((1, cres, cres, cdim), self.dtype)
+        if self.domain_adv_w:
+            v = self.dann_def.init(keys[6], content)
+            state["dann"] = v["params"]
+            state["dann_stats"] = v.get("batch_stats", {})
+            state["dann_opt"] = extra_adam_init(state["dann"])
+        if self.use_classifier_sr:
+            va = self.dann_def.init(keys[7], content)
+            vb = self.dann_def.init(keys[8], content)
+            state["classifier_sr_a"] = va["params"]
+            state["classifier_sr_b"] = vb["params"]
+            state["classifier_sr_a_stats"] = va.get("batch_stats", {})
+            state["classifier_sr_b_stats"] = vb.get("batch_stats", {})
+            state["classif_sr_opt"] = extra_adam_init(
+                {"a": state["classifier_sr_a"], "b": state["classifier_sr_b"]})
+        if self.use_output_classifier_sr:
+            state["output_classifier_sr_a"] = self.dis.init(keys[9], sample)["params"]
+            state["output_classifier_sr_b"] = self.dis.init(keys[10], sample)["params"]
+            state["output_classif_sr_opt"] = extra_adam_init(
+                {"a": state["output_classifier_sr_a"],
+                 "b": state["output_classifier_sr_b"]})
+        if self.train_seg:
+            v = self.seg_head_def.init(keys[11], content)
+            state["seg_head"] = v["params"]
+            state["seg_head_stats"] = v.get("batch_stats", {})
+            state["seg_opt"] = extra_adam_init(state["seg_head"])
+        return state
+
+    def load_segmenter(self, variables: Dict[str, Any]):
+        """Attach frozen Cityscapes segmenter variables ({params, batch_stats})."""
+        self.frozen["seg"] = variables
+
+    # ------------------------------------------------------------ optimizer
+
+    def _opt_kwargs(self):
+        c = self.conf
+        return dict(b1=c["beta1"], b2=c["beta2"], eps=1e-8,
+                    weight_decay=c["weight_decay"])
+
+    def _opt_update(self, grads, opt_state, params, lr, extrapolate):
+        return extra_adam_update(grads, opt_state, params, lr,
+                                 extrapolate=extrapolate, **self._opt_kwargs())
+
+    # ------------------------------------------------------------ forwards
+
+    def _cross_decode(self, gen_params, x_a, x_b, s_a, s_b):
+        """Shared encode + cross-decode used by both dis and gen steps
+        (trainer.py:1148-1175). Returns codes and cross images."""
+        c_a, s_a_p = self.gen.encode(gen_params, x_a, 1)
+        c_b, s_b_p = self.gen.encode(gen_params, x_b, 2)
+        if self.guided == 1:
+            x_ba = self.gen.decode(gen_params, c_b, s_a_p, 1)
+            x_ab = self.gen.decode(gen_params, c_a, s_b_p, 2)
+        else:
+            x_ba = self.gen.decode(gen_params, c_b, s_a, 1)
+            x_ab = self.gen.decode(gen_params, c_a, s_b, 2)
+        return c_a, s_a_p, c_b, s_b_p, x_ba, x_ab
+
+    def _dis_apply(self, params, x):
+        return self.dis.apply({"params": params}, x)
+
+    def _dann_apply(self, params, stats, c, train=True):
+        out, updates = self.dann_def.apply(
+            {"params": params, "batch_stats": stats}, c, train,
+            mutable=["batch_stats"])
+        return out, updates["batch_stats"]
+
+    def _segment(self, img_pm1):
+        """Frozen segmenter logits (B,H,W,19) from a [-1,1] image."""
+        return self.seg_model_def.apply(self.frozen["seg"], seg_preprocess(img_pm1))
+
+    # -------------------------------------------------------------- steps
+
+    def _build_steps(self):
+        c = self.conf
+        ad = c["adaptation"]
+        hw = {k: float(c[k]) for k in
+              ("gan_w", "recon_x_w", "recon_s_w", "recon_c_w", "recon_x_cyc_w",
+               "vgg_w", "semantic_w", "domain_adv_w", "recon_synth_w")}
+        hw["adv_lambda"] = float(ad["adv_lambda"])
+        hw["output_adv_lambda"] = float(ad["output_adv_lambda"])
+        self.hw = hw
+
+        donate = dict(donate_argnums=(0,))
+        self._dis_step = jax.jit(self._dis_step_impl, **donate)
+        self._gen_step = jax.jit(self._gen_step_impl,
+                                 static_argnames=("synth", "has_sem_gt"),
+                                 **donate)
+        if self.domain_adv_w:
+            self._dann_step = jax.jit(self._dann_step_impl, **donate)
+        if self.use_classifier_sr:
+            self._classifier_sr_step = jax.jit(
+                self._classifier_sr_step_impl,
+                static_argnames=("domain_synth",), **donate)
+        if self.use_output_classifier_sr:
+            self._output_classifier_sr_step = jax.jit(
+                self._output_classifier_sr_step_impl, **donate)
+        if self.train_seg:
+            self._seg_head_step = jax.jit(self._seg_head_step_impl, **donate)
+
+    # --- discriminator -----------------------------------------------------
+
+    def _dis_step_impl(self, state, x_a, x_b, lr, extrapolate):
+        rng, k1, k2 = jax.random.split(state["rng"], 3)
+        bsz = x_a.shape[0]
+        s_a = jax.random.normal(k1, (bsz, self.style_dim), x_a.dtype)
+        s_b = jax.random.normal(k2, (bsz, self.style_dim), x_b.dtype)
+
+        *_, x_ba, x_ab = self._cross_decode(state["gen"], x_a, x_b, s_a, s_b)
+        x_ba = jax.lax.stop_gradient(x_ba)   # ≙ .detach() trainer.py:1178
+        x_ab = jax.lax.stop_gradient(x_ab)
+
+        def loss_fn(dis_params):
+            la = losses.dis_gan_loss(self._dis_apply(dis_params["a"], x_ba),
+                                     self._dis_apply(dis_params["a"], x_a),
+                                     self.gan_type)
+            lb = losses.dis_gan_loss(self._dis_apply(dis_params["b"], x_ab),
+                                     self._dis_apply(dis_params["b"], x_b),
+                                     self.gan_type)
+            total = self.hw["gan_w"] * (la + lb)
+            return total, {"loss_dis_a": la, "loss_dis_b": lb,
+                           "loss_dis_total": total}
+
+        dis_params = {"a": state["dis_a"], "b": state["dis_b"]}
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(dis_params)
+        new_params, new_opt = self._opt_update(
+            grads, state["dis_opt"], dis_params, lr, extrapolate)
+        state["dis_a"], state["dis_b"] = new_params["a"], new_params["b"]
+        state["dis_opt"] = new_opt
+        state["rng"] = rng
+        return state, metrics
+
+    # --- generator ---------------------------------------------------------
+
+    def _semantic_loss(self, img_src, img_tr, mask, sem_gt, has_sem_gt):
+        """compute_semantic_seg_loss (trainer.py:706-771). NHWC logits."""
+        logits = self._segment(img_tr)
+        if has_sem_gt:
+            target = sem_gt.astype(jnp.int32)          # (B,H,W)
+            logits = jnp.einsum("bhwc,cd->bhwd", logits, self.merge_m)
+            n_cls = 10
+        else:
+            target = jnp.argmax(self._segment(img_src), axis=-1)
+            n_cls = 19
+        if not self.full_adaptation and mask is not None:
+            m = ops.resize_nearest(mask, (self.crop, self.crop))[..., 0]
+            return losses.semantic_seg_loss_masked(logits, target, m, n_cls)
+        return losses.cross_entropy_loss(logits, target)
+
+    def _gen_step_impl(self, state, x_a, x_b, mask_a, mask_b, sem_gt_a,
+                       sem_gt_b, lr, extrapolate, synth: bool,
+                       has_sem_gt: bool):
+        conf = self.conf
+        hw = self.hw
+        rng, k1, k2 = jax.random.split(state["rng"], 3)
+        bsz = x_a.shape[0]
+        s_a = jax.random.normal(k1, (bsz, self.style_dim), x_a.dtype)
+        s_b = jax.random.normal(k2, (bsz, self.style_dim), x_b.dtype)
+        use_cyc = hw["recon_x_cyc_w"] > 0
+
+        def loss_fn(gen_params):
+            gen = self.gen
+            c_a, s_a_p = gen.encode(gen_params, x_a, 1)
+            c_b, s_b_p = gen.encode(gen_params, x_b, 2)
+            x_a_recon = gen.decode(gen_params, c_a, s_a_p, 1)
+            x_b_recon = gen.decode(gen_params, c_b, s_b_p, 2)
+            if self.guided == 1:
+                x_ba = gen.decode(gen_params, c_b, s_a_p, 1)
+                x_ab = gen.decode(gen_params, c_a, s_b_p, 2)
+            else:
+                x_ba = gen.decode(gen_params, c_b, s_a, 1)
+                x_ab = gen.decode(gen_params, c_a, s_b, 2)
+            c_b_recon, s_a_recon = gen.encode(gen_params, x_ba, 1)
+            c_a_recon, s_b_recon = gen.encode(gen_params, x_ab, 2)
+
+            m = {}
+            m["loss_gen_recon_x_a"] = losses.recon_l1(x_a_recon, x_a)
+            m["loss_gen_recon_x_b"] = losses.recon_l1(x_b_recon, x_b)
+            if self.guided == 1:
+                m["loss_gen_recon_s_a"] = losses.recon_l1(s_a_recon, s_a_p)
+                m["loss_gen_recon_s_b"] = losses.recon_l1(s_b_recon, s_b_p)
+            else:
+                m["loss_gen_recon_s_a"] = losses.recon_l1(s_a_recon, s_a)
+                m["loss_gen_recon_s_b"] = losses.recon_l1(s_b_recon, s_b)
+            m["loss_gen_recon_c_a"] = losses.recon_l1(c_a_recon, c_a)
+            m["loss_gen_recon_c_b"] = losses.recon_l1(c_b_recon, c_b)
+
+            if use_cyc:
+                x_aba = gen.decode(gen_params, c_a_recon, s_a_p, 1)
+                x_bab = gen.decode(gen_params, c_b_recon, s_b_p, 2)
+                if self.recon_mask:
+                    m["loss_gen_cycrecon_x_a"] = losses.recon_l1_masked(
+                        x_aba, x_a, mask_a)
+                    m["loss_gen_cycrecon_x_b"] = losses.recon_l1_masked(
+                        x_bab, x_b, mask_b)
+                else:
+                    m["loss_gen_cycrecon_x_a"] = losses.recon_l1(x_aba, x_a)
+                    m["loss_gen_cycrecon_x_b"] = losses.recon_l1(x_bab, x_b)
+            else:
+                m["loss_gen_cycrecon_x_a"] = jnp.zeros(())
+                m["loss_gen_cycrecon_x_b"] = jnp.zeros(())
+
+            # synthetic-pair alignment loss (trainer.py:452-464): L1 on the
+            # pixel-aligned region of the Unity pair
+            if synth:
+                aligned = (jnp.sum(jnp.abs(x_a - x_b), axis=-1, keepdims=True)
+                           == 0).astype(x_a.dtype)
+                m["loss_gen_recon_synth"] = (
+                    losses.recon_l1_masked(x_ab, x_b, 1.0 - aligned) +
+                    losses.recon_l1_masked(x_ba, x_a, 1.0 - aligned))
+            else:
+                m["loss_gen_recon_synth"] = jnp.zeros(())
+
+            m["loss_gen_adv_a"] = losses.gen_gan_loss(
+                self._dis_apply(state["dis_a"], x_ba), self.gan_type)
+            m["loss_gen_adv_b"] = losses.gen_gan_loss(
+                self._dis_apply(state["dis_b"], x_ab), self.gan_type)
+
+            if self.semantic_w:
+                m["loss_sem_seg"] = (
+                    self._semantic_loss(x_a, x_ab, mask_a, sem_gt_a, has_sem_gt)
+                    + self._semantic_loss(x_b, x_ba, mask_b, sem_gt_b,
+                                          has_sem_gt))
+            else:
+                m["loss_sem_seg"] = jnp.zeros(())
+
+            if self.domain_adv_w:
+                # anonymize content codes (minimize=False; trainer.py:511-519)
+                out_a, _ = self._dann_apply(state["dann"],
+                                            state["dann_stats"], c_a)
+                out_b, _ = self._dann_apply(state["dann"],
+                                            state["dann_stats"], c_b)
+                m["domain_adv_loss_gen"] = losses.domain_adv_loss(
+                    out_a, out_b, minimize=False)
+            else:
+                m["domain_adv_loss_gen"] = jnp.zeros(())
+
+            if hw["adv_lambda"] > 0:
+                out_a, _ = self._dann_apply(state["classifier_sr_a"],
+                                            state["classifier_sr_a_stats"], c_a)
+                out_b, _ = self._dann_apply(state["classifier_sr_b"],
+                                            state["classifier_sr_b_stats"], c_b)
+                m["loss_classifier_adv_sr"] = losses.classifier_sr_loss(
+                    out_a, out_b, domain_synth=synth, fool=True)
+            else:
+                m["loss_classifier_adv_sr"] = jnp.zeros(())
+
+            if hw["output_adv_lambda"] > 0:
+                m["loss_output_classifier_adv_sr"] = (
+                    losses.gen_sr_loss(self._dis_apply(
+                        state["output_classifier_sr_a"], x_ba)) +
+                    losses.gen_sr_loss(self._dis_apply(
+                        state["output_classifier_sr_b"], x_ab)))
+            else:
+                m["loss_output_classifier_adv_sr"] = jnp.zeros(())
+
+            total = (hw["gan_w"] * (m["loss_gen_adv_a"] + m["loss_gen_adv_b"])
+                     + hw["recon_x_w"] * (m["loss_gen_recon_x_a"]
+                                          + m["loss_gen_recon_x_b"])
+                     + hw["recon_s_w"] * (m["loss_gen_recon_s_a"]
+                                          + m["loss_gen_recon_s_b"])
+                     + hw["recon_c_w"] * (m["loss_gen_recon_c_a"]
+                                          + m["loss_gen_recon_c_b"])
+                     + hw["recon_x_cyc_w"] * (m["loss_gen_cycrecon_x_a"]
+                                              + m["loss_gen_cycrecon_x_b"])
+                     + hw["semantic_w"] * m["loss_sem_seg"]
+                     + hw["domain_adv_w"] * m["domain_adv_loss_gen"]
+                     + hw["recon_synth_w"] * m["loss_gen_recon_synth"]
+                     + hw["adv_lambda"] * m["loss_classifier_adv_sr"]
+                     + hw["output_adv_lambda"]
+                     * m["loss_output_classifier_adv_sr"])
+            m["loss_gen_total"] = total
+            return total, m
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state["gen"])
+        new_gen, new_opt = self._opt_update(
+            grads, state["gen_opt"], state["gen"], lr, extrapolate)
+        state["gen"] = new_gen
+        state["gen_opt"] = new_opt
+        state["rng"] = rng
+        return state, metrics
+
+    # --- aux classifiers ----------------------------------------------------
+
+    def _dann_step_impl(self, state, x_a, x_b, lr, extrapolate):
+        """Train the A/B domain classifier to classify content codes."""
+        c_a, _ = self.gen.encode(state["gen"], x_a, 1)
+        c_b, _ = self.gen.encode(state["gen"], x_b, 2)
+        c_a = jax.lax.stop_gradient(c_a)
+        c_b = jax.lax.stop_gradient(c_b)
+
+        def loss_fn(params):
+            out_a, stats_a = self._dann_apply(params, state["dann_stats"], c_a)
+            out_b, stats_b = self._dann_apply(params, stats_a, c_b)
+            loss = losses.domain_adv_loss(out_a, out_b, minimize=True)
+            return loss, (stats_b, out_a, out_b)
+
+        grads, (new_stats, out_a, out_b) = jax.grad(
+            loss_fn, has_aux=True)(state["dann"])
+        new_params, new_opt = self._opt_update(
+            grads, state["dann_opt"], state["dann"], lr, extrapolate)
+        state["dann"] = new_params
+        state["dann_stats"] = new_stats
+        state["dann_opt"] = new_opt
+        metrics = {"domain_class_loss": jnp.zeros(()),
+                   "prob_a_as_a": jax.nn.sigmoid(out_a[0, 0]),
+                   "prob_b_as_b": jax.nn.sigmoid(out_b[0, 0])}
+        return state, metrics
+
+    def _classifier_sr_step_impl(self, state, x_a, x_b, lamb, lr, extrapolate,
+                                 domain_synth: bool):
+        c_a, _ = self.gen.encode(state["gen"], x_a, 1)
+        c_b, _ = self.gen.encode(state["gen"], x_b, 2)
+        c_a = jax.lax.stop_gradient(c_a)   # ≙ .detach() trainer.py:1258
+        c_b = jax.lax.stop_gradient(c_b)
+
+        def loss_fn(params):
+            out_a, sa = self._dann_apply(params["a"],
+                                         state["classifier_sr_a_stats"], c_a)
+            out_b, sb = self._dann_apply(params["b"],
+                                         state["classifier_sr_b_stats"], c_b)
+            loss = lamb * losses.classifier_sr_loss(
+                out_a, out_b, domain_synth=domain_synth, fool=False)
+            return loss, (sa, sb, loss)
+
+        params = {"a": state["classifier_sr_a"], "b": state["classifier_sr_b"]}
+        grads, (sa, sb, loss) = jax.grad(loss_fn, has_aux=True)(params)
+        new_params, new_opt = self._opt_update(
+            grads, state["classif_sr_opt"], params, lr, extrapolate)
+        state["classifier_sr_a"] = new_params["a"]
+        state["classifier_sr_b"] = new_params["b"]
+        state["classifier_sr_a_stats"] = sa
+        state["classifier_sr_b_stats"] = sb
+        state["classif_sr_opt"] = new_opt
+        return state, {"loss_classifier_sr": loss}
+
+    def _output_classifier_sr_step_impl(self, state, x_ar, x_as, x_br, x_bs,
+                                        lamb, lr):
+        def loss_fn(params):
+            loss = lamb * (
+                losses.dis_sr_loss(self._dis_apply(params["b"], x_bs),
+                                   self._dis_apply(params["b"], x_br)) +
+                losses.dis_sr_loss(self._dis_apply(params["a"], x_as),
+                                   self._dis_apply(params["a"], x_ar)))
+            return loss, loss
+
+        params = {"a": state["output_classifier_sr_a"],
+                  "b": state["output_classifier_sr_b"]}
+        grads, loss = jax.grad(loss_fn, has_aux=True)(params)
+        # plain .step() in the reference (trainer.py:1279) — no extrapolation
+        new_params, new_opt = self._opt_update(
+            grads, state["output_classif_sr_opt"], params, lr,
+            jnp.zeros((), jnp.bool_))
+        state["output_classifier_sr_a"] = new_params["a"]
+        state["output_classifier_sr_b"] = new_params["b"]
+        state["output_classif_sr_opt"] = new_opt
+        return state, {"loss_output_classifier_sr": loss}
+
+    def _seg_head_step_impl(self, state, x_a, x_b, target_a, target_b, lamb,
+                            lr, extrapolate):
+        c_a, _ = self.gen.encode(state["gen"], x_a, 1)
+        c_b, _ = self.gen.encode(state["gen"], x_b, 2)
+        c_a = jax.lax.stop_gradient(c_a)
+        c_b = jax.lax.stop_gradient(c_b)
+
+        def head(params, stats, c):
+            out, updates = self.seg_head_def.apply(
+                {"params": params, "batch_stats": stats}, c,
+                mutable=["batch_stats"])
+            return ops.resize_bilinear(out, (self.crop, self.crop)), \
+                updates["batch_stats"]
+
+        def loss_fn(params):
+            out_a, sa = head(params, state["seg_head_stats"], c_a)
+            out_b, sb = head(params, sa, c_b)
+            loss = lamb * (
+                losses.cross_entropy_loss(out_a, target_a.astype(jnp.int32)) +
+                losses.cross_entropy_loss(out_b, target_b.astype(jnp.int32)))
+            return loss, (sb, loss)
+
+        grads, (new_stats, loss) = jax.grad(loss_fn, has_aux=True)(
+            state["seg_head"])
+        new_params, new_opt = self._opt_update(
+            grads, state["seg_opt"], state["seg_head"], lr, extrapolate)
+        state["seg_head"] = new_params
+        state["seg_head_stats"] = new_stats
+        state["seg_opt"] = new_opt
+        return state, {"loss_semantic_head": loss}
+
+    # ------------------------------------------------------------- driving
+
+    def _phase(self):
+        """ExtraAdam parity: even iteration → extrapolation (trainer.py:229)."""
+        extrap = self.use_extra and (self.iterations % 2 == 0)
+        return jnp.asarray(extrap, jnp.bool_)
+
+    def _lr(self):
+        return jnp.asarray(self.lr_schedule(self.iterations), jnp.float32)
+
+    def dis_update(self, x_a, x_b):
+        self.state, metrics = self._dis_step(self.state, x_a, x_b,
+                                             self._lr(), self._phase())
+        return metrics
+
+    def gen_update(self, x_a, x_b, mask_a=None, mask_b=None, synth=False,
+                   sem_gt_a=None, sem_gt_b=None):
+        z_img = jnp.zeros_like(x_a[..., :1])
+        z_sem = jnp.zeros(x_a.shape[:3], jnp.int32)
+        has_gt = sem_gt_a is not None
+        self.state, metrics = self._gen_step(
+            self.state, x_a, x_b,
+            mask_a if mask_a is not None else z_img,
+            mask_b if mask_b is not None else z_img,
+            sem_gt_a if has_gt else z_sem,
+            sem_gt_b if has_gt else z_sem,
+            self._lr(), self._phase(), synth=bool(synth),
+            has_sem_gt=bool(has_gt))
+        return metrics
+
+    def domain_classifier_update(self, x_a, x_b):
+        self.state, metrics = self._dann_step(self.state, x_a, x_b,
+                                              self._lr(), self._phase())
+        return metrics
+
+    def domain_classifier_sr_update(self, x_a, x_b, domain_synth, lamb):
+        self.state, metrics = self._classifier_sr_step(
+            self.state, x_a, x_b, jnp.asarray(lamb, jnp.float32), self._lr(),
+            self._phase(), domain_synth=bool(domain_synth))
+        return metrics
+
+    def output_domain_classifier_sr_update(self, x_ar, x_as, x_br, x_bs):
+        lamb = self.conf["adaptation"]["output_classifier_lambda"]
+        self.state, metrics = self._output_classifier_sr_step(
+            self.state, x_ar, x_as, x_br, x_bs,
+            jnp.asarray(lamb, jnp.float32), self._lr())
+        return metrics
+
+    def segmentation_head_update(self, x_a, x_b, target_a, target_b):
+        lamb = self.conf["adaptation"]["sem_seg_lambda"]
+        self.state, metrics = self._seg_head_step(
+            self.state, x_a, x_b, target_a, target_b,
+            jnp.asarray(lamb, jnp.float32), self._lr(), self._phase())
+        return metrics
+
+    # ------------------------------------------------------------ sampling
+
+    def sample_fid(self, x_a, x_b):
+        """Guided a→b translation with style from the paired b image
+        (trainer.py:1087-1131), batched instead of the reference's
+        per-image python loop."""
+        gen_params = self.state["gen"]
+        c_a, _ = self.gen.encode(gen_params, x_a, 1)
+        _, s_b = self.gen.encode(gen_params, x_b, 2)
+        return self.gen.decode(gen_params, c_a, s_b, 2)
+
+    def sample(self, x_a, x_b, rng=None):
+        """Visualization columns (trainer.py:773-928, guided flavor):
+        (x, recon, x_ab1, x_ab2) per direction. Random-style variants use a
+        fresh rng when guided == 0."""
+        gen_params = self.state["gen"]
+        gen = self.gen
+        c_a, s_a_p = gen.encode(gen_params, x_a, 1)
+        c_b, s_b_p = gen.encode(gen_params, x_b, 2)
+        x_a_recon = gen.decode(gen_params, c_a, s_a_p, 1)
+        x_b_recon = gen.decode(gen_params, c_b, s_b_p, 2)
+        if self.guided == 1:
+            x_ab1 = x_ab2 = gen.decode(gen_params, c_a, s_b_p, 2)
+            x_ba1 = x_ba2 = gen.decode(gen_params, c_b, s_a_p, 1)
+        else:
+            n = x_a.shape[0]
+            s_a1 = self.state["display_s_a"][:n]
+            s_b1 = self.state["display_s_b"][:n]
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            k1, k2 = jax.random.split(rng)
+            s_a2 = jax.random.normal(k1, (n, self.style_dim))
+            s_b2 = jax.random.normal(k2, (n, self.style_dim))
+            x_ab1 = gen.decode(gen_params, c_a, s_b1, 2)
+            x_ab2 = gen.decode(gen_params, c_a, s_b2, 2)
+            x_ba1 = gen.decode(gen_params, c_b, s_a1, 1)
+            x_ba2 = gen.decode(gen_params, c_b, s_a2, 1)
+        return (x_a, x_a_recon, x_ab1, x_ab2, x_b, x_b_recon, x_ba1, x_ba2)
+
+    def update_learning_rate(self):
+        """No-op kept for reference-API parity: lr is a pure function of
+        ``self.iterations``, which the training loop sets to the 0-based
+        iteration index (train.py:157,327-328 semantics — during iteration
+        ``it``, ``trainer.iterations == it``; StepLR stepped it+1 times gives
+        lr0 * gamma^(it // step_size))."""

@@ -1,0 +1,26 @@
+"""Test harness: CPU backend with 8 fake devices.
+
+The standard JAX substitute for multi-chip hardware (SURVEY.md §4): mesh /
+sharding / psum logic is validated on a virtual 8-device CPU backend.
+
+This environment's sitecustomize force-registers the axon TPU backend and sets
+``jax_platforms="axon,cpu"`` at interpreter start, so env vars alone are not
+enough — override the config again here (before any backend is initialized).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.devices()[0].platform == "cpu", (
+    f"tests must run on CPU, got {jax.devices()}")
+assert jax.device_count() == 8, "expected 8 fake CPU devices"

@@ -1,0 +1,168 @@
+"""Golden-parity tests: munit_tpu.core.ops vs torch reference math.
+
+torch (CPU) is used only to compute reference values for the exact ops the
+reference network relies on; no reference code is imported.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from munit_tpu.core import ops
+
+RTOL, ATOL = 1e-5, 1e-5
+
+
+def nchw(x_nhwc: np.ndarray) -> torch.Tensor:
+    return torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)).copy())
+
+
+def nhwc(x_nchw: torch.Tensor) -> np.ndarray:
+    return np.transpose(x_nchw.detach().numpy(), (0, 2, 3, 1))
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+def test_instance_norm(rng):
+    x = rng.randn(2, 8, 8, 5).astype(np.float32)
+    want = nhwc(F.instance_norm(nchw(x), eps=1e-5))
+    got = np.asarray(ops.instance_norm(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
+def test_adain_matches_batch_norm_trick(rng):
+    # Reference AdaIN: F.batch_norm over (1, B*C, H, W) with per-(b,c) weight
+    # (std/gamma) and bias (mean/beta), training=True (networks.py:823-845).
+    b, c, h, w = 2, 6, 8, 8
+    x = rng.randn(b, h, w, c).astype(np.float32)
+    gamma = rng.randn(b, c).astype(np.float32)
+    beta = rng.randn(b, c).astype(np.float32)
+
+    xt = nchw(x).contiguous().view(1, b * c, h, w)
+    want = F.batch_norm(
+        xt, torch.zeros(b * c), torch.ones(b * c),
+        torch.from_numpy(gamma.reshape(-1)), torch.from_numpy(beta.reshape(-1)),
+        True, 0.1, 1e-5).view(b, c, h, w)
+    got = np.asarray(ops.adain(jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta)))
+    np.testing.assert_allclose(got, nhwc(want), rtol=1e-4, atol=1e-4)
+
+
+def test_whole_layer_norm(rng):
+    # Custom LayerNorm (networks.py:851-878): whole-tensor per-sample stats,
+    # unbiased std, eps added to std, per-channel affine.
+    b, c, h, w = 3, 4, 6, 6
+    x = rng.randn(b, h, w, c).astype(np.float32)
+    gamma = rng.rand(c).astype(np.float32)
+    beta = rng.randn(c).astype(np.float32)
+
+    xt = nchw(x)
+    mean = xt.view(b, -1).mean(1).view(b, 1, 1, 1)
+    std = xt.view(b, -1).std(1).view(b, 1, 1, 1)
+    want = (xt - mean) / (std + 1e-5)
+    want = want * torch.from_numpy(gamma).view(1, c, 1, 1) + \
+        torch.from_numpy(beta).view(1, c, 1, 1)
+
+    got = np.asarray(ops.whole_layer_norm(
+        jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta)))
+    np.testing.assert_allclose(got, nhwc(want), rtol=RTOL, atol=ATOL)
+
+
+def test_avg_pool_3x3_s2_count_include_pad_false(rng):
+    for hw in [(8, 8), (7, 9), (256, 256)]:
+        x = rng.randn(2, hw[0], hw[1], 3).astype(np.float32)
+        want = nhwc(F.avg_pool2d(nchw(x), 3, stride=2, padding=1,
+                                 count_include_pad=False))
+        got = np.asarray(ops.avg_pool_3x3_s2(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
+def test_upsample_nearest(rng):
+    x = rng.randn(2, 5, 7, 3).astype(np.float32)
+    want = nhwc(F.interpolate(nchw(x), scale_factor=2))
+    got = np.asarray(ops.upsample_nearest(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize("pad_type,torch_mode", [
+    ("reflect", "reflect"), ("replicate", "replicate"), ("zero", "constant")])
+def test_pad2d(rng, pad_type, torch_mode):
+    x = rng.randn(1, 6, 6, 2).astype(np.float32)
+    want = nhwc(F.pad(nchw(x), (3, 3, 3, 3), mode=torch_mode))
+    got = np.asarray(ops.pad2d(jnp.asarray(x), 3, pad_type))
+    np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize("k,stride,padding", [(7, 1, 3), (4, 2, 1), (3, 1, 1), (1, 1, 0), (5, 1, 2)])
+def test_conv2d_vs_torch(rng, k, stride, padding):
+    cin, cout = 3, 8
+    x = rng.randn(2, 16, 16, cin).astype(np.float32)
+    w_oihw = rng.randn(cout, cin, k, k).astype(np.float32) * 0.1
+    bias = rng.randn(cout).astype(np.float32)
+
+    want = nhwc(F.conv2d(nchw(x), torch.from_numpy(w_oihw),
+                         torch.from_numpy(bias), stride=stride, padding=padding))
+    w_hwio = jnp.asarray(np.transpose(w_oihw, (2, 3, 1, 0)))
+    xp = ops.pad2d(jnp.asarray(x), padding, "zero")
+    got = np.asarray(ops.conv2d(xp, w_hwio, jnp.asarray(bias), stride))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_resize_bilinear_half_pixel(rng):
+    x = rng.randn(1, 8, 8, 2).astype(np.float32)
+    want = nhwc(F.interpolate(nchw(x), size=(15, 15), mode="bilinear",
+                              align_corners=False))
+    got = np.asarray(ops.resize_bilinear(jnp.asarray(x), (15, 15)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_resize_bilinear_align_corners(rng):
+    x = rng.randn(1, 8, 8, 2).astype(np.float32)
+    want = nhwc(F.interpolate(nchw(x), size=(32, 32), mode="bilinear",
+                              align_corners=True))
+    got = np.asarray(ops.resize_bilinear(jnp.asarray(x), (32, 32),
+                                         align_corners=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_resize_nearest(rng):
+    x = rng.randn(1, 7, 7, 2).astype(np.float32)
+    want = nhwc(F.interpolate(nchw(x), size=(256, 256), mode="nearest"))
+    got = np.asarray(ops.resize_nearest(jnp.asarray(x), (256, 256)))
+    np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
+def test_max_pool(rng):
+    x = rng.randn(2, 16, 16, 4).astype(np.float32)
+    want = nhwc(F.max_pool2d(nchw(x), 2, 2))
+    got = np.asarray(ops.max_pool(jnp.asarray(x), 2, 2))
+    np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+    want = nhwc(F.max_pool2d(nchw(x), 3, 2, 1))
+    got = np.asarray(ops.max_pool(jnp.asarray(x), 3, 2, 1))
+    np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
+def test_global_avg_pool(rng):
+    x = rng.randn(2, 9, 9, 4).astype(np.float32)
+    want = nhwc(F.adaptive_avg_pool2d(nchw(x), 1))
+    got = np.asarray(ops.global_avg_pool(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
+def test_activations(rng):
+    x = rng.randn(4, 5).astype(np.float32) * 3
+    xt = torch.from_numpy(x)
+    cases = {
+        "relu": F.relu(xt), "lrelu": F.leaky_relu(xt, 0.2),
+        "selu": F.selu(xt), "tanh": torch.tanh(xt),
+    }
+    for name, want in cases.items():
+        got = np.asarray(ops.activation(name)(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want.numpy(), rtol=1e-4, atol=1e-5)

@@ -1,0 +1,145 @@
+"""Data pipeline tests: transform parity vs torchvision semantics + loader
+behavior (shuffling, sharding, joint mask transforms, synthetic 5-tuple)."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+from PIL import Image
+
+from munit_tpu.data import (
+    DataLoader, ImageMaskDataset, SyntheticPairDataset, FidPairDataset,
+    get_data_loader_list,
+)
+from munit_tpu.data import transforms as T
+
+
+@pytest.fixture
+def imgdir(tmp_path):
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(6):
+        arr = rng.randint(0, 255, (80, 100, 3), np.uint8)
+        p = tmp_path / f"img_{i}.png"
+        Image.fromarray(arr).save(p)
+        paths.append(str(p))
+    flist = tmp_path / "list.txt"
+    flist.write_text("\n".join(paths))
+    return tmp_path, paths, str(flist)
+
+
+def test_resize_shorter_semantics(imgdir):
+    # torchvision Resize(int): shorter side → size, aspect preserved, BILINEAR
+    _, paths, _ = imgdir
+    img = Image.open(paths[0]).convert("RGB")  # 100x80 (w x h)
+    out = T.resize_shorter(img, 64)
+    assert out.size == (80, 64)  # shorter side (h=80) → 64, w scales 100*64/80
+    want = np.asarray(img.resize((80, 64), Image.BILINEAR))
+    np.testing.assert_array_equal(np.asarray(out), want)
+
+
+def test_to_tensor_normalize_parity(imgdir):
+    # ToTensor (÷255) + Normalize(.5,.5,.5) == x*2-1 on [0,1]
+    _, paths, _ = imgdir
+    img = Image.open(paths[0]).convert("RGB")
+    raw = np.asarray(img).astype(np.float32) / 255.0
+    want = raw * 2.0 - 1.0
+    got = T.normalize_pm1(T.to_array01(img))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_list_loader_shapes_and_range(imgdir):
+    _, _, flist = imgdir
+    loader = get_data_loader_list("", flist, batch_size=2, train=True,
+                                  new_size=64, height=48, width=48,
+                                  num_workers=2)
+    batch = next(iter(loader))
+    x = batch["image"]
+    assert x.shape == (2, 48, 48, 3)
+    assert x.dtype == np.float32
+    assert x.min() >= -1.0 and x.max() <= 1.0
+
+
+def test_loader_epoch_determinism_and_sharding(imgdir):
+    _, _, flist = imgdir
+    mk = lambda shard, count: get_data_loader_list(
+        "", flist, 1, True, 64, 48, 48, 1, seed=7,
+        shard_index=shard, shard_count=count)
+    full = [b["image"] for _, b in zip(range(6), iter(mk(0, 1)))]
+    full2 = [b["image"] for _, b in zip(range(6), iter(mk(0, 1)))]
+    np.testing.assert_allclose(full[0], full2[0])  # same seed → same stream
+    # 2-way sharding: shards are disjoint slices of the same permutation
+    s0 = [b["image"] for _, b in zip(range(3), iter(mk(0, 2)))]
+    s1 = [b["image"] for _, b in zip(range(3), iter(mk(1, 2)))]
+    stack = np.concatenate(s0 + s1)
+    assert len(np.unique(stack.round(4).reshape(6, -1), axis=0)) == 6
+
+
+def test_image_mask_joint_transform(tmp_path):
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (90, 90, 3), np.uint8)
+    # mask stored as {0,255}; right half masked
+    mask = np.zeros((90, 90), np.uint8)
+    mask[:, 45:] = 255
+    ip, mp = tmp_path / "i.png", tmp_path / "m.png"
+    Image.fromarray(img).save(ip)
+    Image.fromarray(mask).save(mp)
+    (tmp_path / "il.txt").write_text(str(ip))
+    (tmp_path / "ml.txt").write_text(str(mp))
+
+    ds = ImageMaskDataset(str(tmp_path / "il.txt"), str(tmp_path / "ml.txt"),
+                          new_size=64, height=32, width=32)
+    out = ds.get(0, np.random.default_rng(3))
+    assert out["image"].shape == (32, 32, 3)
+    assert out["mask"].shape == (32, 32, 1)
+    assert set(np.unique(out["mask"])) <= {0.0, 1.0}
+
+
+def test_synthetic_5tuple(tmp_path):
+    rng = np.random.RandomState(2)
+    base = rng.randint(0, 255, (70, 70, 3), np.uint8)
+    flooded = base.copy()
+    flooded[40:, :] = 30  # differs only in the bottom region (the "water")
+    mask = np.zeros((70, 70), np.uint8)
+    mask[40:, :] = 1      # {0,1}-style mask
+    sem_vals = np.asarray([0, 29, 55, 76, 133, 149, 178, 200, 255], np.uint8)
+    sem = sem_vals[rng.randint(0, 9, (70, 70))]
+
+    names = {}
+    for name, arr in [("a", base), ("b", flooded)]:
+        p = tmp_path / f"{name}.png"
+        Image.fromarray(arr).save(p)
+        names[name] = str(p)
+    for name, arr in [("m", mask), ("sa", sem), ("sb", sem)]:
+        p = tmp_path / f"{name}.png"
+        Image.fromarray(arr).save(p)
+        names[name] = str(p)
+    for k, v in names.items():
+        (tmp_path / f"{k}.txt").write_text(v)
+
+    ds = SyntheticPairDataset(
+        *[str(tmp_path / f"{k}.txt") for k in ("a", "b", "m", "sa", "sb")],
+        new_size=64, height=48, width=48)
+    out = ds.get(0, np.random.default_rng(4))
+    assert out["image_a"].shape == (48, 48, 3)
+    assert out["image_b"].shape == (48, 48, 3)
+    assert out["mask"].shape == (48, 48, 1)
+    assert set(np.unique(out["mask"])) <= {0.0, 1.0}
+    assert out["sem_a"].dtype == np.int32
+    assert out["sem_a"].max() <= 8  # value-table classes 0..8
+
+
+def test_fid_pair_loader_returns_distinct_images(tmp_path):
+    # Regression for the reference's utils.py:401 bug (image_a duplicated).
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 255, (64, 64, 3), np.uint8)
+    b = 255 - a
+    Image.fromarray(a).save(tmp_path / "a.png")
+    Image.fromarray(b).save(tmp_path / "b.png")
+    (tmp_path / "la.txt").write_text(str(tmp_path / "a.png"))
+    (tmp_path / "lb.txt").write_text(str(tmp_path / "b.png"))
+    ds = FidPairDataset(str(tmp_path / "la.txt"), str(tmp_path / "lb.txt"), 64)
+    out = ds.get(0, np.random.default_rng(0))
+    assert not np.allclose(out["image_a"], out["image_b"])
+    np.testing.assert_allclose(out["image_b"], -out["image_a"], atol=0.01)

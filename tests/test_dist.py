@@ -1,0 +1,114 @@
+"""Distributed tests on the fake 8-device CPU mesh: data-parallel training
+step correctness (grad psum equivalence), spatial sharding, graft entry."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from munit_tpu.config import validate
+from munit_tpu.dist import make_mesh, data_sharding, shard_batch
+from munit_tpu.dist.mesh import replicate_state
+from munit_tpu.train import MUNITTrainer
+
+CROP = 32
+
+
+def tiny_conf(batch):
+    return validate({
+        "gen_state": 1, "guided": 1, "recon_mask": 0, "batch_size": batch,
+        "crop_image_height": CROP, "crop_image_width": CROP, "new_size": CROP,
+        "gen": {"dim": 16, "mlp_dim": 32, "style_dim": 8, "activ": "relu",
+                "n_downsample": 2, "n_res": 2, "pad_type": "reflect"},
+        "dis": {"dim": 16, "norm": "none", "activ": "lrelu", "n_layer": 3,
+                "gan_type": "lsgan", "num_scales": 2, "pad_type": "reflect"},
+    })
+
+
+def test_mesh_axes():
+    mesh = make_mesh(spatial=2)
+    assert mesh.shape == {"data": 4, "spatial": 2}
+    mesh = make_mesh()
+    assert mesh.shape == {"data": 8, "spatial": 1}
+
+
+def test_data_parallel_step_matches_single_device():
+    batch = 8
+    rng = np.random.RandomState(0)
+    x_a = rng.randn(batch, CROP, CROP, 3).astype(np.float32) * 0.3
+    x_b = rng.randn(batch, CROP, CROP, 3).astype(np.float32) * 0.3
+
+    # single-device run
+    tr1 = MUNITTrainer(tiny_conf(batch), jax.random.PRNGKey(0))
+    tr1.iterations = 0
+    m1 = tr1.dis_update(jnp.asarray(x_a), jnp.asarray(x_b))
+
+    # 8-way data-parallel run with identical init
+    mesh = make_mesh()
+    tr8 = MUNITTrainer(tiny_conf(batch), jax.random.PRNGKey(0))
+    with mesh:
+        tr8.state = replicate_state(mesh, tr8.state)
+        b = shard_batch(mesh, {"x_a": x_a, "x_b": x_b})
+        tr8.iterations = 0
+        m8 = tr8.dis_update(b["x_a"], b["x_b"])
+
+    np.testing.assert_allclose(float(m1["loss_dis_total"]),
+                               float(m8["loss_dis_total"]), rtol=2e-4)
+    # updated params agree → the compiled psum-mean produced identical grads
+    l1 = jax.tree.leaves(tr1.state["dis_a"])
+    l8 = jax.tree.leaves(tr8.state["dis_a"])
+    for a, b_ in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-5)
+
+
+def test_gen_step_runs_sharded():
+    batch = 8
+    rng = np.random.RandomState(1)
+    mesh = make_mesh()
+    tr = MUNITTrainer(tiny_conf(batch), jax.random.PRNGKey(1))
+    with mesh:
+        tr.state = replicate_state(mesh, tr.state)
+        b = shard_batch(mesh, {
+            "x_a": rng.randn(batch, CROP, CROP, 3).astype(np.float32),
+            "x_b": rng.randn(batch, CROP, CROP, 3).astype(np.float32)})
+        tr.iterations = 0
+        m = tr.gen_update(b["x_a"], b["x_b"])
+    assert np.isfinite(np.asarray(m["loss_gen_total"]))
+
+
+def test_spatial_sharding_forward():
+    # H-axis sharding: XLA inserts conv halo exchange automatically
+    mesh = make_mesh(spatial=2)
+    tr = MUNITTrainer(tiny_conf(4), jax.random.PRNGKey(2))
+    rng = np.random.RandomState(2)
+    x = rng.randn(4, CROP, CROP, 3).astype(np.float32)
+    with mesh:
+        tr.state = replicate_state(mesh, tr.state)
+        xs = jax.device_put(x, data_sharding(mesh))
+        c, s = jax.jit(lambda p, x: tr.gen.encode(p, x, 1))(tr.state["gen"], xs)
+    # parity vs unsharded
+    c0, s0 = tr.gen.encode(tr.state["gen"], jnp.asarray(x), 1)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c0), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_graft_entry_compiles():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.eval_shape(jax.jit(fn), *jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), args))
+    assert out.shape == (1, 256, 256, 3)
+
+
+def test_graft_dryrun_multichip():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

@@ -1,0 +1,129 @@
+"""ExtraAdam parity: munit_tpu.optim vs a torch reimplementation of the
+extragradient-Adam semantics (extraadam.py:14-168), on a toy bilinear problem.
+"""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from munit_tpu.optim import extra_adam_init, extra_adam_update, adam
+from munit_tpu.optim.schedule import step_lr
+
+
+class TorchExtraAdam:
+    """Reference-faithful extragradient Adam on a dict of torch tensors."""
+
+    def __init__(self, params, lr, betas=(0.5, 0.999), eps=1e-8, wd=0.0):
+        self.p = params
+        self.lr, self.b1, self.b2, self.eps, self.wd = lr, betas[0], betas[1], eps, wd
+        self.m = {k: torch.zeros_like(v) for k, v in params.items()}
+        self.v = {k: torch.zeros_like(v) for k, v in params.items()}
+        self.t = 0
+        self.copy = None
+
+    def _update(self, grads):
+        self.t += 1
+        out = {}
+        for k, g in grads.items():
+            g = g + self.wd * self.p[k]
+            self.m[k] = self.b1 * self.m[k] + (1 - self.b1) * g
+            self.v[k] = self.b2 * self.v[k] + (1 - self.b2) * g * g
+            denom = self.v[k].sqrt() + self.eps
+            step = self.lr * np.sqrt(1 - self.b2 ** self.t) / (1 - self.b1 ** self.t)
+            out[k] = -step * self.m[k] / denom
+        return out
+
+    def extrapolation(self, grads):
+        u = self._update(grads)
+        if self.copy is None:
+            self.copy = {k: v.clone() for k, v in self.p.items()}
+        for k in self.p:
+            self.p[k] = self.p[k] + u[k]
+
+    def step(self, grads):
+        u = self._update(grads)
+        for k in self.p:
+            self.p[k] = self.copy[k] + u[k]
+        self.copy = None
+
+
+def bilinear_grads_torch(p):
+    # f(x, y) = x·y: grad_x = y, grad_y = -x (x minimizes, y maximizes)
+    return {"x": p["y"].clone(), "y": -p["x"].clone()}
+
+
+def bilinear_grads_jax(p):
+    return {"x": p["y"], "y": -p["x"]}
+
+
+def test_extra_adam_matches_torch_reference():
+    lr, wd = 0.05, 0.01
+    tp = {"x": torch.tensor([1.0, -2.0]), "y": torch.tensor([0.5, 1.5])}
+    topt = TorchExtraAdam(dict(tp), lr, wd=wd)
+
+    jp = {"x": jnp.asarray([1.0, -2.0]), "y": jnp.asarray([0.5, 1.5])}
+    jstate = extra_adam_init(jp)
+
+    for it in range(20):
+        extrap = it % 2 == 0
+        tg = bilinear_grads_torch(topt.p)
+        if extrap:
+            topt.extrapolation(tg)
+        else:
+            topt.step(tg)
+        jg = bilinear_grads_jax(jp)
+        jp, jstate = extra_adam_update(
+            jg, jstate, jp, lr, jnp.asarray(extrap), b1=0.5, b2=0.999,
+            weight_decay=wd)
+
+    for k in jp:
+        np.testing.assert_allclose(np.asarray(jp[k]), topt.p[k].numpy(),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_plain_adam_matches_torch():
+    lr, wd = 0.01, 0.0001
+    x0 = np.array([3.0, -1.0, 0.5], np.float32)
+    tx = torch.tensor(x0, requires_grad=True)
+    topt = torch.optim.Adam([tx], lr=lr, betas=(0.5, 0.999), eps=1e-8,
+                            weight_decay=wd)
+
+    jp = {"w": jnp.asarray(x0)}
+    jstate = extra_adam_init(jp)
+
+    for _ in range(25):
+        topt.zero_grad()
+        loss = (tx ** 2).sum()
+        loss.backward()
+        topt.step()
+        jg = {"w": 2 * jp["w"]}
+        jp, jstate = adam(jg, jstate, jp, lr, b1=0.5, b2=0.999,
+                          weight_decay=wd)
+
+    np.testing.assert_allclose(np.asarray(jp["w"]), tx.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_consecutive_extrapolations_keep_first_anchor():
+    # extraadam.py:35-43: several extrapolations before a step must keep the
+    # FIRST saved copy as the anchor.
+    jp = {"w": jnp.asarray([1.0])}
+    st = extra_adam_init(jp)
+    g = {"w": jnp.asarray([1.0])}
+    p1, st = extra_adam_update(g, st, jp, 0.1, jnp.asarray(True))
+    anchor = np.asarray(st.params_copy["w"]).copy()
+    np.testing.assert_allclose(anchor, [1.0])
+    p2, st = extra_adam_update(g, st, p1, 0.1, jnp.asarray(True))
+    np.testing.assert_allclose(np.asarray(st.params_copy["w"]), anchor)
+    p3, st = extra_adam_update(g, st, p2, 0.1, jnp.asarray(False))
+    assert not st.has_copy
+
+
+def test_step_lr_schedule():
+    sched = step_lr(1e-4, 100000, 0.5)
+    assert sched(0) == 1e-4
+    assert sched(99999) == 1e-4
+    assert sched(100000) == 5e-5
+    assert sched(250000) == 2.5e-5
