@@ -1,0 +1,110 @@
+"""Evaluation CLI: FID against precomputed real moments + slerp style sweeps.
+
+FID wires the reference's dead training-loop hook (train.py:119-130 prepared
+metrics but never invoked them — SURVEY.md §2.6) into a working command:
+
+  python -m munit_tpu.cli.evaluate fid --config ... --checkpoint gen.pt \\
+      --inception_ckpt inception.pkl
+
+Slerp sweep (utils.py:849-883 semantics): decode a content image under
+spherically-interpolated style codes, write a sweep strip:
+
+  python -m munit_tpu.cli.evaluate sweep --config ... --checkpoint gen.pt \\
+      --input img.jpg --nb_interp 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from munit_tpu.cli.translate import load_gen_params, load_image, save_image01
+from munit_tpu.config import get_config
+from munit_tpu.train import GenBundle
+
+
+def cmd_fid(opts):
+    conf = get_config(opts.config)
+    from munit_tpu.data import get_fid_data_loader
+    from munit_tpu.eval.fid import (accumulate_activations,
+                                    compute_fid_from_pools)
+    from munit_tpu.eval.inception import InceptionV3, inception_preprocess
+
+    gen = GenBundle(conf)
+    params = load_gen_params(opts.checkpoint, conf)
+
+    with open(opts.inception_ckpt, "rb") as f:
+        variables = pickle.load(f)
+    net = InceptionV3()
+
+    @jax.jit
+    def pool_fn(img_pm1):
+        pool, _ = net.apply(variables, inception_preprocess(img_pm1))
+        return pool
+
+    @jax.jit
+    def sample_fid(x_a, x_b):
+        c_a, _ = gen.encode(params, x_a, 1)
+        _, s_b = gen.encode(params, x_b, 2)
+        return gen.decode(params, c_a, s_b, 2)
+
+    loader = get_fid_data_loader(
+        conf["data_list_fid_a"], conf["data_list_fid_b"],
+        max(conf["batch_size_fid"], 1), new_size=conf["new_size"],
+        num_workers=conf["num_workers"])
+    pool = accumulate_activations(sample_fid, pool_fn, loader.batches())
+    moments = np.load(conf["inception_moment_path"])
+    fid = compute_fid_from_pools(pool, moments["mu"], moments["sigma"])
+    print(f"FID: {fid}")
+    return fid
+
+
+def cmd_sweep(opts):
+    conf = get_config(opts.config)
+    from munit_tpu.eval.slerp import get_slerp_interp
+    gen = GenBundle(conf)
+    params = load_gen_params(opts.checkpoint, conf)
+    x = load_image(opts.input, conf["new_size"])
+    c, _ = gen.encode(params, x, 1)
+    styles = get_slerp_interp(opts.nb_latents, opts.nb_interp,
+                              conf["gen"]["style_dim"],
+                              np.random.RandomState(opts.seed))
+    os.makedirs(opts.output_folder, exist_ok=True)
+    decode = jax.jit(lambda s: gen.decode(params, c, s, 2))
+    for i, s in enumerate(styles):
+        out = decode(jnp.asarray(s)[None])
+        save_image01(np.asarray((out[0] + 1) / 2.0),
+                     os.path.join(opts.output_folder, f"sweep{i:03d}.jpg"))
+    print(f"Wrote {len(styles)} sweep frames to {opts.output_folder}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+    f = sub.add_parser("fid")
+    f.add_argument("--config", required=True)
+    f.add_argument("--checkpoint", required=True)
+    f.add_argument("--inception_ckpt", required=True)
+    s = sub.add_parser("sweep")
+    s.add_argument("--config", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--input", required=True)
+    s.add_argument("--output_folder", default="sweep_out")
+    s.add_argument("--nb_latents", type=int, default=1)
+    s.add_argument("--nb_interp", type=int, default=8)
+    s.add_argument("--seed", type=int, default=0)
+    opts = p.parse_args(argv)
+    if opts.cmd == "fid":
+        cmd_fid(opts)
+    else:
+        cmd_sweep(opts)
+
+
+if __name__ == "__main__":
+    main()

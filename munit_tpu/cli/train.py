@@ -1,0 +1,120 @@
+"""Training CLI (train.py semantics, /root/reference/scripts/train.py).
+
+  python -m munit_tpu.cli.train --config configs/config_256.yaml \\
+      [--output_path out] [--resume] [--mesh] [--time_steps]
+
+Builds the masked A/B loaders + synthetic loader per config, snapshots the
+config into the run dir, and drives the cadence loop. ``--mesh`` enables
+data-parallel training over all visible devices.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from munit_tpu.config import get_config, flatten_opts
+from munit_tpu.data import (
+    get_all_data_loaders, get_data_loader_mask_and_im,
+    get_synthetic_data_loader,
+)
+from munit_tpu.train import MUNITTrainer
+from munit_tpu.train.loop import train_loop
+from munit_tpu.utils import MetricLogger, prepare_sub_folder
+
+
+def build_loaders(conf, seed=0, **shard):
+    loaders = {}
+    kw = dict(new_size=conf["new_size"], height=conf["crop_image_height"],
+              width=conf["crop_image_width"], num_workers=conf["num_workers"],
+              seed=seed, **shard)
+    mask_a = conf.get("data_list_train_a_seg") if conf["semantic_w"] > 0 else None
+    mask_b = conf.get("data_list_train_b_seg") if conf["semantic_w"] > 0 else None
+    loaders["a"] = get_data_loader_mask_and_im(
+        conf["data_list_train_a"], mask_a, conf["batch_size"], True, **kw)
+    loaders["b"] = get_data_loader_mask_and_im(
+        conf["data_list_train_b"], mask_b, conf["batch_size"], True, **kw)
+    if conf.get("data_list_train_a_synth") and \
+            os.path.exists(str(conf["data_list_train_a_synth"])):
+        loaders["synth"] = get_synthetic_data_loader(
+            conf["data_list_train_a_synth"], conf["data_list_train_b_synth"],
+            conf["data_list_train_b_seg_synth"], conf["seg_list_a"],
+            conf["seg_list_b"], conf["batch_size"], True, **kw)
+    return loaders
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--output_path", default=".")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--mesh", action="store_true",
+                   help="data-parallel over all devices")
+    p.add_argument("--time_steps", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    opts = p.parse_args(argv)
+
+    conf = get_config(opts.config)
+    model_name = os.path.splitext(os.path.basename(opts.config))[0]
+    output_directory = os.path.join(opts.output_path, "outputs", model_name)
+    ckpt_dir, img_dir = prepare_sub_folder(output_directory)
+    shutil.copy(opts.config, os.path.join(output_directory, "config.yaml"))
+
+    logger = MetricLogger(output_directory)
+    logger.log_parameters(flatten_opts(conf))
+
+    trainer = MUNITTrainer(conf, jax.random.PRNGKey(opts.seed))
+    if conf["semantic_w"] > 0 and conf.get("semantic_ckpt_path") and \
+            os.path.exists(str(conf["semantic_ckpt_path"])):
+        from munit_tpu.io import load_torch_checkpoint
+        from munit_tpu.nn.resnet import convert_resnet34_8s_state_dict
+        import torch
+        sd = {k: v.numpy() for k, v in torch.load(
+            conf["semantic_ckpt_path"], map_location="cpu",
+            weights_only=True).items()}
+        trainer.load_segmenter(jax.tree.map(
+            jnp.asarray, convert_resnet34_8s_state_dict(sd)))
+    elif conf["semantic_w"] > 0:
+        print("WARNING: semantic_ckpt_path missing — using random frozen "
+              "segmenter weights (loss is well-defined but meaningless)")
+        trainer.load_segmenter(trainer.seg_model_def.init(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, conf["crop_image_height"],
+                       conf["crop_image_height"], 3))))
+
+    mesh = None
+    if opts.mesh:
+        from munit_tpu.dist import make_mesh
+        from munit_tpu.dist.mesh import replicate_state
+        mesh = make_mesh()
+        trainer.state = replicate_state(mesh, trainer.state)
+
+    start = 0
+    if opts.resume:
+        from munit_tpu.io.checkpoint import resume
+        start = resume(trainer, ckpt_dir)
+
+    loaders = build_loaders(conf, seed=opts.seed)
+
+    # display batches (train.py:132-143)
+    display = int(conf["display_size"])
+    def take(loader):
+        imgs = [loader.dataset.get(i, np.random.default_rng(i))["image"]
+                for i in range(min(display, len(loader.dataset)))]
+        return jnp.asarray(np.stack(imgs))
+    tloaders = get_all_data_loaders(conf, seed=opts.seed)
+    display_batches = tuple(take(l) for l in tloaders)
+
+    train_loop(trainer, conf, loaders, output_directory, logger,
+               start_iteration=start, display_batches=display_batches,
+               mesh=mesh, time_steps=opts.time_steps)
+
+
+if __name__ == "__main__":
+    main()

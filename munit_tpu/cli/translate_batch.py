@@ -1,0 +1,119 @@
+"""Multi-style batch inference + IS/CIS (test_batch.py semantics,
+/root/reference/scripts/test_batch.py:100-208).
+
+Per input image: encode content, decode with ``num_style`` random (or fixed
+"synchronized") style codes, write each to output_folder_%02d/<basename>.
+Optionally accumulate fine-tuned-Inception softmax predictions for IS/CIS.
+
+The reference's broken ``UNIT_Trainer`` import (test_batch.py:12) is fixed by
+construction; both gen_state layouts load.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from munit_tpu.config import get_config
+from munit_tpu.data import ImageFolder
+from munit_tpu.cli.translate import load_gen_params, save_image01
+from munit_tpu.train import GenBundle
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--input_folder", required=True)
+    p.add_argument("--output_folder", required=True)
+    p.add_argument("--num_style", type=int, default=10)
+    p.add_argument("--a2b", type=int, default=1)
+    p.add_argument("--synchronized", action="store_true")
+    p.add_argument("--output_only", action="store_true")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--compute_IS", action="store_true")
+    p.add_argument("--compute_CIS", action="store_true")
+    p.add_argument("--inception_ckpt", default=None,
+                   help="orbax/npz with converted fine-tuned InceptionV3")
+    opts = p.parse_args(argv)
+
+    conf = get_config(opts.config)
+    gen = GenBundle(conf)
+    params = load_gen_params(opts.checkpoint, conf)
+    style_dim = conf["gen"]["style_dim"]
+    new_size = conf.get("new_size_a", conf["new_size"])
+
+    enc_dom, dec_dom = (1, 2) if opts.a2b else (2, 1)
+
+    @jax.jit
+    def translate(x, styles):
+        c, _ = gen.encode(params, x, enc_dom)
+        outs = []
+        for j in range(opts.num_style):
+            outs.append(gen.decode(params, c, styles[j:j + 1], dec_dom))
+        return jnp.concatenate(outs)
+
+    inception_apply = None
+    if opts.compute_IS or opts.compute_CIS:
+        from munit_tpu.eval.inception import (
+            InceptionV3, inception_preprocess)
+        if opts.inception_ckpt is None:
+            raise SystemExit("--compute_IS/CIS needs --inception_ckpt")
+        import pickle
+        with open(opts.inception_ckpt, "rb") as f:
+            variables = pickle.load(f)
+        net = InceptionV3()
+
+        @jax.jit
+        def inception_apply(img01):
+            _, logits = net.apply(variables,
+                                  inception_preprocess(img01 * 2.0 - 1.0))
+            return jax.nn.softmax(logits, axis=-1)
+
+    dataset = ImageFolder(opts.input_folder, new_size, new_size, new_size,
+                          train=False, crop=False, return_paths=True)
+    rng = jax.random.PRNGKey(opts.seed)
+    rng, kf = jax.random.split(rng)
+    style_fixed = jax.random.normal(kf, (opts.num_style, style_dim))
+
+    all_preds, per_image_preds = [], []
+    for i in range(len(dataset)):
+        sample = dataset.get(i, np.random.default_rng(0))
+        x = jnp.asarray(sample["image"])[None]
+        if opts.synchronized:
+            styles = style_fixed
+        else:
+            rng, k = jax.random.split(rng)
+            styles = jax.random.normal(k, (opts.num_style, style_dim))
+        outs01 = (translate(x, styles) + 1.0) / 2.0
+        if inception_apply is not None:
+            preds = np.asarray(inception_apply(outs01))
+            all_preds.append(preds)
+            per_image_preds.append(preds)
+        basename = os.path.basename(sample["path"])
+        for j in range(opts.num_style):
+            outdir = f"{opts.output_folder}_{j:02d}"
+            os.makedirs(outdir, exist_ok=True)
+            save_image01(np.asarray(outs01[j]), os.path.join(outdir, basename))
+        if not opts.output_only:
+            os.makedirs(opts.output_folder, exist_ok=True)
+            save_image01(np.asarray((x[0] + 1) / 2.0),
+                         os.path.join(opts.output_folder, f"input{i:03d}.jpg"))
+
+    if opts.compute_IS and all_preds:
+        from munit_tpu.eval.scores import inception_score
+        print("Inception Score: {}".format(
+            inception_score(np.concatenate(all_preds, 0))))
+    if opts.compute_CIS and per_image_preds:
+        from munit_tpu.eval.scores import conditional_inception_score
+        print("conditional Inception Score: {}".format(
+            conditional_inception_score(np.stack(per_image_preds))))
+
+
+if __name__ == "__main__":
+    main()

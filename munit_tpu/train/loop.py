@@ -1,0 +1,134 @@
+"""Training-loop driver: reference cadences (train.py:159-330) over the
+jitted steps.
+
+Cadence summary (config_256 defaults in parens):
+- dis_update every iteration
+- gen_update when (it+1) % ratio_disc_gen == 0 (5)
+- domain_classifier_update every iteration if domain_adv_w > 0
+- domain_classifier_sr_update when (it+1) % adaptation.classif_frequency == 0
+- output_domain_classifier_sr_update when (it+1) % output_classif_freq == 0
+- synthetic-pair dis+gen (+ sr-classifier) when synthetic_frequency > 0 and
+  it % synthetic_frequency == 0; seg-head update every iteration in that mode
+- sample grids at image_save_iter / image_display_iter; checkpoint at
+  snapshot_save_iter
+
+Deviation (documented): the reference's loop only runs when semantic_w != 0
+(train.py:159) — generalized here to always run; the masked loaders simply
+carry zero masks when semantic_w == 0.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from munit_tpu.eval.sample import write_2images
+from munit_tpu.io.checkpoint import save_checkpoint
+from munit_tpu.utils.logging import MetricLogger, Timer
+
+
+def _dev(batch, key):
+    import jax.numpy as jnp
+    return jnp.asarray(batch[key])
+
+
+def train_loop(trainer, conf, loaders, output_directory: str,
+               logger: Optional[MetricLogger] = None,
+               start_iteration: int = 0,
+               max_iter: Optional[int] = None,
+               display_batches=None,
+               mesh=None,
+               time_steps: bool = False):
+    """loaders: dict with 'a', 'b' (image+mask loaders) and optionally
+    'synth'. display_batches: optional (train_a, train_b, test_a, test_b)
+    numpy arrays for grid dumps."""
+    logger = logger or MetricLogger(output_directory)
+    ckpt_dir = os.path.join(output_directory, "checkpoints")
+    img_dir = os.path.join(output_directory, "images")
+    max_iter = max_iter or conf["max_iter"]
+    ad = conf["adaptation"]
+    display = int(conf["display_size"])
+
+    it_a = iter(loaders["a"])
+    it_b = iter(loaders["b"])
+    it_s = iter(loaders["synth"]) if loaders.get("synth") else None
+
+    maybe_shard = (lambda x: x)
+    if mesh is not None:
+        from munit_tpu.dist import shard_batch
+        maybe_shard = lambda x: shard_batch(mesh, x)
+
+    iterations = start_iteration
+    while iterations < max_iter:
+        ba = maybe_shard(next(it_a))
+        bb = maybe_shard(next(it_b))
+        bs = maybe_shard(next(it_s)) if it_s else None
+        trainer.iterations = iterations
+        with Timer(enabled=time_steps):
+            trainer.update_learning_rate()
+            x_a, mask_a = _dev(ba, "image"), _dev(ba, "mask")
+            x_b, mask_b = _dev(bb, "image"), _dev(bb, "mask")
+
+            metrics = dict(trainer.dis_update(x_a, x_b))
+            if (iterations + 1) % conf["ratio_disc_gen"] == 0:
+                metrics.update(trainer.gen_update(x_a, x_b, mask_a, mask_b))
+            if conf["domain_adv_w"] > 0:
+                metrics.update(trainer.domain_classifier_update(x_a, x_b))
+            if trainer.use_classifier_sr and \
+                    (iterations + 1) % ad["classif_frequency"] == 0:
+                metrics.update(trainer.domain_classifier_sr_update(
+                    x_a, x_b, domain_synth=False,
+                    lamb=ad["dfeat_lambda"]))
+            if bs is not None and trainer.use_output_classifier_sr and \
+                    (iterations + 1) % ad["output_classif_freq"] == 0:
+                metrics.update(trainer.output_domain_classifier_sr_update(
+                    x_a, _dev(bs, "image_a"), x_b, _dev(bs, "image_b")))
+
+            if bs is not None and conf["synthetic_frequency"] > 0:
+                x_as, x_bs = _dev(bs, "image_a"), _dev(bs, "image_b")
+                mask_s = _dev(bs, "mask")
+                sem_a, sem_b = _dev(bs, "sem_a"), _dev(bs, "sem_b")
+                if iterations % conf["synthetic_frequency"] == 0:
+                    metrics.update(trainer.dis_update(x_as, x_bs))
+                    if conf.get("synthetic_seg_gt", 0) == 0:
+                        metrics.update(trainer.gen_update(
+                            x_as, x_bs, mask_s, mask_s, synth=True))
+                    else:
+                        metrics.update(trainer.gen_update(
+                            x_as, x_bs, mask_s, mask_s, synth=True,
+                            sem_gt_a=sem_a, sem_gt_b=sem_b))
+                    if trainer.use_classifier_sr and \
+                            (iterations + 1) % ad["classif_frequency"] == 0:
+                        metrics.update(trainer.domain_classifier_sr_update(
+                            x_as, x_bs, domain_synth=True,
+                            lamb=ad["dfeat_lambda"]))
+                if trainer.train_seg:
+                    metrics.update(trainer.segmentation_head_update(
+                        x_as, x_bs, sem_a, sem_b))
+
+            if time_steps:
+                jax.block_until_ready(trainer.state["gen"])
+
+        if (iterations + 1) % conf["log_iter"] == 0:
+            logger.log_metrics(metrics, iterations + 1)
+
+        if display_batches is not None:
+            tr_a, tr_b, te_a, te_b = display_batches
+            if (iterations + 1) % conf["image_save_iter"] == 0:
+                write_2images(trainer.sample(te_a, te_b), display, img_dir,
+                              "test_%08d" % (iterations + 1), logger)
+                write_2images(trainer.sample(tr_a, tr_b), display, img_dir,
+                              "train_%08d" % (iterations + 1), logger)
+            if (iterations + 1) % conf["image_display_iter"] == 0:
+                write_2images(trainer.sample(tr_a, tr_b), display, img_dir,
+                              "train_current", logger)
+
+        if (iterations + 1) % conf["snapshot_save_iter"] == 0:
+            save_checkpoint(ckpt_dir, trainer.state, iterations + 1)
+
+        iterations += 1
+    return iterations
