@@ -26,9 +26,19 @@ ITERS = int(os.environ.get("BENCH_ITERS", "30"))
 CROP = 256
 
 
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+    # Persistent compilation cache: the big dis/gen step graphs compile once
+    # (remote compile over the axon tunnel is minutes-scale); subsequent bench
+    # runs start in seconds.
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from munit_tpu.config import validate
     from munit_tpu.train import MUNITTrainer
 
@@ -39,8 +49,10 @@ def main():
         "new_size": CROP, "crop_image_height": CROP, "crop_image_width": CROP,
     })
 
-    dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16", "1") == "1" \
-        else jnp.float32
+    from munit_tpu.core import ops
+    if os.environ.get("BENCH_BF16", "1") == "1":
+        # production numerics: bf16 MXU multiplies, f32 accumulate/norms
+        ops.set_conv_compute(jnp.bfloat16, jax.lax.Precision.DEFAULT)
     tr = MUNITTrainer(conf, jax.random.PRNGKey(0), dtype=jnp.float32)
     tr.load_segmenter(tr.seg_model_def.init(
         jax.random.PRNGKey(1), jnp.zeros((1, CROP, CROP, 3))))
@@ -53,19 +65,36 @@ def main():
 
     def one_iter(it):
         tr.iterations = it
-        tr.dis_update(x_a, x_b)
+        m = tr.dis_update(x_a, x_b)
         if (it + 1) % conf["ratio_disc_gen"] == 0:
-            tr.gen_update(x_a, x_b, mask, mask)
+            m = tr.gen_update(x_a, x_b, mask, mask)
+        return m
+
+    def sync(m):
+        # block_until_ready is unreliable over the axon tunnel; a scalar fetch
+        # is the only dependable barrier.
+        return float(list(m.values())[0])
+
+    log(f"bench: compiling dis step (batch={BATCH})...")
+    t0 = time.time()
+    m = one_iter(0)
+    sync(m)
+    log(f"bench: dis step ready in {time.time() - t0:.1f}s; compiling gen step...")
+    t0 = time.time()
+    m = one_iter(conf["ratio_disc_gen"] - 1)
+    sync(m)
+    log(f"bench: gen step ready in {time.time() - t0:.1f}s; warmup...")
 
     for it in range(WARMUP):
-        one_iter(it)
-    jax.block_until_ready(tr.state["gen"])
+        m = one_iter(it)
+    sync(m)
 
     t0 = time.time()
     for it in range(WARMUP, WARMUP + ITERS):
-        one_iter(it)
-    jax.block_until_ready(tr.state["gen"])
+        m = one_iter(it)
+    sync(m)
     dt = time.time() - t0
+    log(f"bench: {ITERS} iters in {dt:.2f}s")
 
     images_per_sec = BATCH * ITERS / dt
     print(json.dumps({

@@ -56,23 +56,41 @@ def pad2d(x: jax.Array, padding: int, mode: str) -> jax.Array:
 
 _DIMS = ("NHWC", "HWIO", "NHWC")
 
+# Global conv numerics knobs. Parity mode (default): f32 operands with
+# HIGHEST precision (required to match the torch reference bit-closely).
+# Performance mode (bench / production training): bf16 operands on the MXU
+# with f32 accumulation — set via set_conv_compute(jnp.bfloat16).
+_CONV_PRECISION = lax.Precision.HIGHEST
+_CONV_DTYPE = None  # None → use operand dtypes as-is
+
+
+def set_conv_compute(dtype=None, precision=lax.Precision.HIGHEST):
+    """Configure conv numerics globally (call before tracing/jit).
+
+    dtype: None (parity) or jnp.bfloat16 (MXU-native multiply, f32 accumulate,
+    f32 outputs — norms/losses stay in f32).
+    """
+    global _CONV_PRECISION, _CONV_DTYPE
+    _CONV_PRECISION = precision
+    _CONV_DTYPE = dtype
+
 
 def conv2d(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None,
-           stride: int = 1,
-           precision=lax.Precision.HIGHEST) -> jax.Array:
-    """VALID conv over an already-padded NHWC input. kernel is HWIO.
-
-    precision defaults to HIGHEST so float32 runs accumulate in f32 (required
-    for pixel parity with the torch reference); bf16 inputs still use the MXU's
-    native bf16 multiply with f32 accumulate.
-    """
+           stride: int = 1, precision=None) -> jax.Array:
+    """VALID conv over an already-padded NHWC input. kernel is HWIO."""
+    out_dtype = x.dtype
+    if _CONV_DTYPE is not None:
+        x = x.astype(_CONV_DTYPE)
+        kernel = kernel.astype(_CONV_DTYPE)
     y = lax.conv_general_dilated(
         x, kernel,
         window_strides=(stride, stride),
         padding="VALID",
         dimension_numbers=_DIMS,
-        precision=precision,
+        precision=precision if precision is not None else _CONV_PRECISION,
+        preferred_element_type=jnp.float32,
     )
+    y = y.astype(out_dtype)
     if bias is not None:
         y = y + bias
     return y

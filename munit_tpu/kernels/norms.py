@@ -1,0 +1,254 @@
+"""Pallas TPU kernels for the norm-heavy hot ops (SURVEY.md §7 step 8).
+
+The MUNIT hot loop is dominated by conv → {InstanceNorm | AdaIN | custom-LN}
+→ activation chains. These kernels fuse the two-pass normalization with the
+scale/shift and activation epilogue into a single VMEM-resident pass per
+sample, saving HBM round-trips where XLA materializes the normalized
+intermediate.
+
+Scope: one grid step per batch element; the (H, W, C) slab must fit VMEM
+(~16MB/core). That covers every AdaIN layer of the decoder res-blocks and the
+content-encoder res-blocks at 256² training (64×64×256 f32 = 4MB); larger
+early-encoder slabs fall back to the jnp path automatically.
+
+Training-capable: custom VJP with stats recomputed in the backward kernel
+(cheaper than saving x̂; one extra VMEM pass, zero extra HBM residuals beyond
+x itself).
+
+Numerics match munit_tpu.core.ops exactly (biased variance, eps=1e-5; LN uses
+unbiased std with eps on the std).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from munit_tpu.core import ops as _ops
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+# The kernel keeps ~3 slab-sized values live (input, centered, output), so
+# the slab must be ≤ ~1/4 of the 16MB VMEM. 4MB covers the content-resolution
+# feature maps (64×64×256 f32) where all 16 AdaIN/IN res-block layers live.
+_VMEM_BUDGET_BYTES = 4 * 1024 * 1024
+_EPS = 1e-5
+
+
+def pallas_available() -> bool:
+    if not _HAS_PALLAS:
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _slab_fits(x) -> bool:
+    h, w, c = x.shape[1:]
+    return h * w * c * 4 <= _VMEM_BUDGET_BYTES and c % 128 == 0 \
+        and (h * w) % 8 == 0
+
+
+def _interpret() -> bool:
+    return jax.devices()[0].platform not in ("tpu", "axon")
+
+
+# ---------------------------------------------------------------------------
+# Forward kernels
+# ---------------------------------------------------------------------------
+
+
+def _in_fwd_kernel(x_ref, g_ref, b_ref, o_ref, *, relu: bool, affine: bool):
+    x = x_ref[0].astype(jnp.float32)           # (H, W, C)
+    hw = x.shape[0] * x.shape[1]
+    mean = jnp.sum(x, axis=(0, 1), keepdims=True) / hw
+    d = x - mean
+    var = jnp.sum(d * d, axis=(0, 1), keepdims=True) / hw
+    y = d * jax.lax.rsqrt(var + _EPS)
+    if affine:
+        y = y * g_ref[0][None, None, :] + b_ref[0][None, None, :]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _run_in_fwd(x, gamma, beta, relu, affine):
+    b = x.shape[0]
+    c = x.shape[-1]
+    kern = functools.partial(_in_fwd_kernel, relu=relu, affine=affine)
+    g = gamma if affine else jnp.zeros((b, c), x.dtype)
+    bta = beta if affine else jnp.zeros((b, c), x.dtype)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1,) + x.shape[1:], lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1,) + x.shape[1:], lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(x, g, bta)
+
+
+# ---------------------------------------------------------------------------
+# Public fused ops with custom VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def adain_fused(x, gamma, beta, relu: bool = False):
+    """AdaIN (+optional ReLU): per-(sample,channel) instance norm then
+    per-sample scale/shift. gamma, beta: (B, C)."""
+    return _run_in_fwd(x, gamma, beta, relu, affine=True)
+
+
+def _adain_fwd(x, gamma, beta, relu):
+    return adain_fused(x, gamma, beta, relu), (x, gamma, beta)
+
+
+def _adain_bwd(relu, res, dy):
+    x, gamma, beta = res
+    # jnp fallback backward (correct everywhere; pallas bwd kernel is a
+    # later optimization — forward fusion is where the HBM win is)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    rstd = jax.lax.rsqrt(var + _EPS)
+    xhat = (xf - mean) * rstd
+    g = gamma.astype(jnp.float32)[:, None, None, :]
+    dyf = dy.astype(jnp.float32)
+    if relu:
+        fwd = xhat * g + beta.astype(jnp.float32)[:, None, None, :]
+        dyf = jnp.where(fwd > 0, dyf, 0.0)
+    dgamma = jnp.sum(dyf * xhat, axis=(1, 2)).astype(gamma.dtype)
+    dbeta = jnp.sum(dyf, axis=(1, 2)).astype(beta.dtype)
+    dyg = dyf * g
+    m1 = jnp.mean(dyg, axis=(1, 2), keepdims=True)
+    m2 = jnp.mean(dyg * xhat, axis=(1, 2), keepdims=True)
+    dx = ((dyg - m1 - xhat * m2) * rstd).astype(x.dtype)
+    return dx, dgamma, dbeta
+
+
+adain_fused.defvjp(_adain_fwd, _adain_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def instance_norm_fused(x, relu: bool = False):
+    """Affine-less instance norm (+optional ReLU), VMEM-fused per sample."""
+    return _run_in_fwd(x, None, None, relu, affine=False)
+
+
+def _in_fwd(x, relu):
+    return instance_norm_fused(x, relu), (x,)
+
+
+def _in_bwd(relu, res, dy):
+    (x,) = res
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    rstd = jax.lax.rsqrt(var + _EPS)
+    xhat = (xf - mean) * rstd
+    dyf = dy.astype(jnp.float32)
+    if relu:
+        dyf = jnp.where(xhat > 0, dyf, 0.0)
+    m1 = jnp.mean(dyf, axis=(1, 2), keepdims=True)
+    m2 = jnp.mean(dyf * xhat, axis=(1, 2), keepdims=True)
+    dx = ((dyf - m1 - xhat * m2) * rstd).astype(x.dtype)
+    return (dx,)
+
+
+instance_norm_fused.defvjp(_in_fwd, _in_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Whole-tensor LayerNorm
+# ---------------------------------------------------------------------------
+
+
+def _ln_fwd_kernel(x_ref, g_ref, b_ref, o_ref, *, relu: bool, n: int):
+    x = x_ref[0].astype(jnp.float32)
+    mean = jnp.sum(x) / n
+    d = x - mean
+    var_b = jnp.sum(d * d) / n
+    std = jnp.sqrt(var_b * (n / (n - 1)))
+    y = d / (std + _EPS)
+    y = y * g_ref[0][None, None, :] + b_ref[0][None, None, :]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def whole_layer_norm_fused(x, gamma, beta, relu: bool = False):
+    """The fork's whole-tensor LayerNorm (+optional ReLU). gamma,beta: (C,)."""
+    b, h, w, c = x.shape
+    n = h * w * c
+    kern = functools.partial(_ln_fwd_kernel, relu=relu, n=n)
+    g2 = jnp.broadcast_to(gamma[None, :], (1, c))
+    b2 = jnp.broadcast_to(beta[None, :], (1, c))
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(x, g2, b2)
+
+
+def _ln_fwd(x, gamma, beta, relu):
+    return whole_layer_norm_fused(x, gamma, beta, relu), (x, gamma, beta)
+
+
+def _ln_bwd(relu, res, dy):
+    x, gamma, beta = res
+
+    def f(x, gamma, beta):
+        y = _ops.whole_layer_norm(x, gamma, beta)
+        return jnp.maximum(y, 0.0) if relu else y
+
+    _, vjp = jax.vjp(f, x, gamma, beta)
+    return vjp(dy)
+
+
+whole_layer_norm_fused.defvjp(_ln_fwd, _ln_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Dispatchers (used by nn blocks when enabled)
+# ---------------------------------------------------------------------------
+
+
+def maybe_instance_norm(x, relu=False):
+    if pallas_available() and _slab_fits(x):
+        return instance_norm_fused(x, relu)
+    y = _ops.instance_norm(x)
+    return jnp.maximum(y, 0) if relu else y
+
+
+def maybe_adain(x, gamma, beta, relu=False):
+    if pallas_available() and _slab_fits(x):
+        return adain_fused(x, gamma, beta, relu)
+    y = _ops.adain(x, gamma, beta)
+    return jnp.maximum(y, 0) if relu else y

@@ -78,15 +78,24 @@ class ConvBlock(nn.Module):
             x = ops.pad2d(x, self.padding, self.pad_type)
             x = ops.conv2d(x, kernel, bias, self.stride)
 
+        # norm (+ fused relu where the Pallas path applies)
+        fuse_relu = self.activ == "relu"
         if self.norm == "in":
-            x = ops.instance_norm(x)
+            from munit_tpu.kernels.norms import maybe_instance_norm
+            x = maybe_instance_norm(x, relu=fuse_relu)
+            if fuse_relu:
+                return x
         elif self.norm == "ln":
             gamma = self.param("ln_gamma", init.uniform01, (self.out_dim,))
             beta = self.param("ln_beta", init.zeros, (self.out_dim,))
             x = ops.whole_layer_norm(x, gamma, beta)
         elif self.norm == "adain":
             assert adain_params is not None, "AdaIN ConvBlock needs (gamma, beta)"
-            x = ops.adain(x, adain_params[0], adain_params[1])
+            from munit_tpu.kernels.norms import maybe_adain
+            x = maybe_adain(x, adain_params[0], adain_params[1],
+                            relu=fuse_relu)
+            if fuse_relu:
+                return x
         elif self.norm == "bn":
             # Train-mode batch norm is not used by any shipped config; the only
             # BN consumers are frozen pretrained nets which use

@@ -59,12 +59,17 @@ def merge_class_matrix() -> np.ndarray:
 
 
 class GenBundle:
-    """Uniform interface over gen_state 0 (two AdaINGen) and 1 (dual)."""
+    """Uniform interface over gen_state 0 (two AdaINGen) and 1 (dual).
 
-    def __init__(self, conf: Dict):
+    remat=True wraps decode in jax.checkpoint — rematerializes decoder
+    activations in the backward pass, trading FLOPs for HBM (required for the
+    HD config's 512² crops, SURVEY.md §7 hard part 6)."""
+
+    def __init__(self, conf: Dict, remat: bool = False):
         g = conf["gen"]
         self.gen_state = conf["gen_state"]
         self.style_dim = g["style_dim"]
+        self.remat = remat
         kernel_init = winit.by_name(conf.get("init", "kaiming"))
         kwargs = dict(input_dim=conf["input_dim_a"], dim=g["dim"],
                       style_dim=g["style_dim"], n_downsample=g["n_downsample"],
@@ -94,20 +99,28 @@ class GenBundle:
         return self.module.apply({"params": p}, x, method="encode")
 
     def decode(self, params: Params, c: jax.Array, s: jax.Array, domain: int):
-        if self.gen_state == 1:
-            return self.module.apply({"params": params}, c, s, domain,
-                                     method="decode")
-        p = params["a"] if domain == 1 else params["b"]
-        return self.module.apply({"params": p}, c, s, method="decode")
+        def run(params, c, s):
+            if self.gen_state == 1:
+                return self.module.apply({"params": params}, c, s, domain,
+                                         method="decode")
+            p = params["a"] if domain == 1 else params["b"]
+            return self.module.apply({"params": p}, c, s, method="decode")
+        if self.remat:
+            run = jax.checkpoint(run)
+        return run(params, c, s)
 
 
 class MUNITTrainer:
     """Python driver owning config, module defs, jitted steps, and cadences."""
 
     def __init__(self, conf: Dict, rng: jax.Array,
-                 image_size: Optional[int] = None, dtype=jnp.float32):
+                 image_size: Optional[int] = None, dtype=jnp.float32,
+                 remat: Optional[bool] = None):
         self.conf = conf
         self.dtype = dtype
+        if remat is None:
+            # HD crops (>=512²) need decoder rematerialization (§7 item 6)
+            remat = conf["crop_image_height"] >= 512
         self.guided = conf["guided"]
         self.gan_type = conf["dis"]["gan_type"]
         self.crop = image_size or conf["crop_image_height"]
@@ -124,7 +137,7 @@ class MUNITTrainer:
         self.lr_schedule = schedule_from_config(conf)
         self.iterations = 0
 
-        self.gen = GenBundle(conf)
+        self.gen = GenBundle(conf, remat=remat)
         d = conf["dis"]
         self.dis = MsImageDis(
             input_dim=conf["input_dim_a"], n_layer=d["n_layer"], dim=d["dim"],
@@ -644,6 +657,22 @@ class MUNITTrainer:
             x_ab2 = gen.decode(gen_params, c_a, s_b2, 2)
             x_ba1 = gen.decode(gen_params, c_b, s_a1, 1)
             x_ba2 = gen.decode(gen_params, c_b, s_a2, 1)
+        if self.semantic_w and "seg" in self.frozen:
+            # 12-column layout with Cityscapes seg overlays
+            # (trainer.py:854-928): per direction (x, recon, seg(x), xy1,
+            # seg(xy1), xy2). Overlays are [0,1] RGB like the reference's
+            # ToTensor'd colormaps.
+            from munit_tpu.eval.segmap import decode_segmap
+            import numpy as np
+
+            def overlay(img):
+                labels = np.asarray(jnp.argmax(self._segment(img), axis=-1))
+                rgb = np.stack([decode_segmap(l) for l in labels])
+                return jnp.asarray(rgb.astype(np.float32) / 255.0)
+
+            return (x_a, x_a_recon, overlay(x_a), x_ab1, overlay(x_ab1),
+                    x_ab2, x_b, x_b_recon, overlay(x_b), x_ba1,
+                    overlay(x_ba1), x_ba2)
         return (x_a, x_a_recon, x_ab1, x_ab2, x_b, x_b_recon, x_ba1, x_ba2)
 
     def update_learning_rate(self):

@@ -1,0 +1,51 @@
+"""Config system: all shipped configs load + validate; defaults injected;
+stale-config resilience (the reference KeyErrors on config_HD's missing
+adaptation block — SURVEY.md §2.7)."""
+
+import glob
+
+import pytest
+import yaml
+
+from munit_tpu.config import get_config, validate, flatten_opts
+
+
+def test_all_shipped_configs_load():
+    paths = glob.glob("configs/*.yaml") + glob.glob("configs/final_test/*.yaml")
+    assert len(paths) >= 9
+    for p in paths:
+        conf = get_config(p)
+        assert conf["gen"]["style_dim"] == 16
+        assert "adaptation" in conf
+
+
+def test_reference_configs_parse():
+    # the reference's own YAMLs (incl. the stale HD config) validate cleanly
+    for p in glob.glob("/root/reference/configs/**/*.yaml", recursive=True):
+        conf = get_config(p)
+        assert conf["optimizer"] == "adam"  # utils.py:755-757 default
+        assert "adaptation" in conf
+
+
+def test_defaults_and_overrides():
+    conf = validate({"lr": 0.001})
+    assert conf["lr"] == 0.001
+    assert conf["beta1"] == 0.5
+    assert conf["adaptation"]["classif_frequency"] == 15
+    conf2 = validate({"adaptation": {"adv_lambda": 3}})
+    assert conf2["adaptation"]["adv_lambda"] == 3
+    assert conf2["adaptation"]["dfeat_lambda"] == 0  # untouched default
+
+
+def test_validation_errors():
+    with pytest.raises(ValueError):
+        validate({"gen_state": 5})
+    with pytest.raises(TypeError):
+        validate({"batch_size": "two"})
+    with pytest.raises(ValueError):
+        validate({"dis": {"gan_type": "wgan"}})
+
+
+def test_flatten_opts():
+    flat = flatten_opts({"a": {"b": {"c": 2}, "e": 4}, "f": 5})
+    assert flat == {"a.b.c": 2, "a.e": 4, "f": 5}
