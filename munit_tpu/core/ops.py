@@ -168,12 +168,15 @@ def batch_norm_inference(x: jax.Array, mean: jax.Array, var: jax.Array,
 
 @functools.lru_cache(maxsize=64)
 def _avg_pool_counts(h: int, w: int) -> np.ndarray:
-    """Valid-element counts for 3x3 stride-2 pad-1 pooling (count_include_pad=False)."""
-    ones = np.ones((1, h, w, 1), np.float32)
-    counts = jax.device_get(lax.reduce_window(
-        jnp.asarray(ones), 0.0, lax.add, (1, 3, 3, 1), (1, 2, 2, 1),
-        [(0, 0), (1, 1), (1, 1), (0, 0)]))
-    return counts
+    """Valid-element counts for 3x3 stride-2 pad-1 pooling
+    (count_include_pad=False). Pure numpy so it is safe under tracing."""
+    padded = np.pad(np.ones((h, w), np.float32), 1)
+    oh, ow = (h + 1) // 2, (w + 1) // 2
+    counts = np.zeros((oh, ow), np.float32)
+    for i in range(oh):
+        for j in range(ow):
+            counts[i, j] = padded[2 * i:2 * i + 3, 2 * j:2 * j + 3].sum()
+    return counts[None, :, :, None]
 
 
 def avg_pool_3x3_s2(x: jax.Array) -> jax.Array:

@@ -129,6 +129,98 @@ def convert_dis_state_dict(sd: StateDict, dis_conf: dict) -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Export (flax → reference torch state_dict) — lets reference users roundtrip
+# ---------------------------------------------------------------------------
+
+
+def _x_conv(params: dict, tkey: str, sd: StateDict, bare: bool = False):
+    mid = "" if bare else ".conv"
+    sd[f"{tkey}{mid}.weight"] = np.transpose(np.asarray(params["kernel"]),
+                                             (3, 2, 0, 1))
+    sd[f"{tkey}{mid}.bias"] = np.asarray(params["bias"])
+    if "ln_gamma" in params:
+        sd[f"{tkey}.norm.gamma"] = np.asarray(params["ln_gamma"])
+        sd[f"{tkey}.norm.beta"] = np.asarray(params["ln_beta"])
+
+
+def _x_adain_buffers(tkey: str, dim: int, sd: StateDict):
+    sd[f"{tkey}.norm.running_mean"] = np.zeros(dim, np.float32)
+    sd[f"{tkey}.norm.running_var"] = np.ones(dim, np.float32)
+
+
+def _x_res(params: dict, prefix: str, sd: StateDict, adain: bool = False):
+    for j, blk in sorted((int(k.split("_")[1]), v) for k, v in params.items()):
+        for c in range(2):
+            tkey = f"{prefix}.model.{j}.model.{c}"
+            _x_conv(params[f"block_{j}"][f"conv_{c}"], tkey, sd)
+            if adain:
+                dim = params[f"block_{j}"][f"conv_{c}"]["kernel"].shape[-1]
+                _x_adain_buffers(tkey, dim, sd)
+
+
+def export_gen_state_dict(params: dict, gen_conf: dict,
+                          dual: bool = True) -> StateDict:
+    """Flax generator params → reference-format torch state_dict
+    (inverse of convert_gen_state_dict; includes AdaIN dummy buffers)."""
+    nd, nr = gen_conf["n_downsample"], gen_conf["n_res"]
+    sd: StateDict = {}
+
+    def style_enc(p, prefix):
+        n_conv = 1 + 2 + (4 - 2)
+        for i in range(n_conv):
+            _x_conv(p[f"layer_{i}"], f"{prefix}.model.{i}", sd)
+        _x_conv(p["out_conv"], f"{prefix}.model.{n_conv + 1}", sd, bare=True)
+
+    def content_enc(p, prefix):
+        for i in range(nd + 1):
+            _x_conv(p[f"layer_{i}"], f"{prefix}.model.{i}", sd)
+        _x_res(p["res"], f"{prefix}.model.{nd + 1}", sd)
+
+    def decoder(p, prefix):
+        _x_res(p["res"], f"{prefix}.model.0", sd, adain=True)
+        for i in range(nd):
+            _x_conv(p[f"up_{i}"], f"{prefix}.model.{2 * i + 2}", sd)
+        _x_conv(p["out_conv"], f"{prefix}.model.{2 * nd + 1}", sd)
+
+    def mlp(p, prefix):
+        for i in range(3):
+            sd[f"{prefix}.model.{i}.fc.weight"] = np.transpose(
+                np.asarray(p[f"fc_{i}"]["kernel"]), (1, 0))
+            sd[f"{prefix}.model.{i}.fc.bias"] = np.asarray(p[f"fc_{i}"]["bias"])
+
+    if dual:
+        style_enc(params["enc_style"], "enc_style")
+        content_enc(params["enc1_content"], "enc1_content")
+        content_enc(params["enc2_content"], "enc2_content")
+        decoder(params["dec1"], "dec1")
+        decoder(params["dec2"], "dec2")
+        mlp(params["mlp1"], "mlp1")
+        mlp(params["mlp2"], "mlp2")
+    else:
+        style_enc(params["enc_style"], "enc_style")
+        content_enc(params["enc_content"], "enc_content")
+        decoder(params["dec"], "dec")
+        mlp(params["mlp"], "mlp")
+    return sd
+
+
+def save_reference_checkpoint(path: str, gen_params, gen_conf: dict,
+                              gen_state: int = 1):
+    """Write a reference-loadable gen_*.pt (trainer.py:1402-1407 layout)."""
+    import torch
+    if gen_state == 1:
+        blob = {"2": {k: torch.from_numpy(np.asarray(v).copy()) for k, v in
+                      export_gen_state_dict(gen_params, gen_conf, True).items()}}
+    else:
+        blob = {s: {k: torch.from_numpy(np.asarray(v).copy()) for k, v in
+                    export_gen_state_dict(gen_params[s], gen_conf,
+                                          False).items()}
+                for s in ("a", "b")}
+    import torch as _t
+    _t.save(blob, path)
+
+
 def _to_numpy_state_dict(obj) -> StateDict:
     out = {}
     for k, v in obj.items():

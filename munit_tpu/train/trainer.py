@@ -150,7 +150,8 @@ class MUNITTrainer:
         self.merge_m = jnp.asarray(merge_class_matrix())
 
         self.frozen: Dict[str, Any] = {}  # e.g. "seg": segmenter variables
-        self.state = self._init_state(rng)
+        # one compiled init: eager per-leaf dispatch is slow on remote TPUs
+        self.state = jax.jit(self._init_state)(rng)
         self._build_steps()
 
     # ------------------------------------------------------------------ init
