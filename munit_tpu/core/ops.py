@@ -82,13 +82,15 @@ def conv2d(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None,
     if _CONV_DTYPE is not None:
         x = x.astype(_CONV_DTYPE)
         kernel = kernel.astype(_CONV_DTYPE)
+    # No preferred_element_type: its transpose rule mixes dtypes under grad.
+    # On the MXU bf16 dots accumulate in f32 internally; the output is cast
+    # back to the caller dtype so norms/losses stay in f32.
     y = lax.conv_general_dilated(
         x, kernel,
         window_strides=(stride, stride),
         padding="VALID",
         dimension_numbers=_DIMS,
         precision=precision if precision is not None else _CONV_PRECISION,
-        preferred_element_type=jnp.float32,
     )
     y = y.astype(out_dtype)
     if bias is not None:

@@ -67,6 +67,22 @@ class ImageFilelist:
         return {"image": x}
 
 
+class ImageLabelFilelist(ImageFilelist):
+    """List dataset with class labels derived from the first path segment
+    (data.py:52-79). Unused by the reference entry points; kept for parity."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        classes = sorted({p.split("/")[0] for p in self.paths})
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+
+    def get(self, index, rng):
+        out = super().get(index, rng)
+        out["label"] = np.int32(
+            self.class_to_idx[self.paths[index].split("/")[0]])
+        return out
+
+
 class ImageFolder(ImageFilelist):
     """Recursive folder dataset (data.py:109-155); optionally returns paths."""
 

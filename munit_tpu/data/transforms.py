@@ -87,11 +87,38 @@ def semantic_to_classes(sem: Image.Image) -> np.ndarray:
     return _SEM_LUT[arr].astype(np.int32)
 
 
+def _native():
+    """Fused C++ post-decode path (munit_tpu/native): one pass over pixels,
+    PIL-equivalent antialiased resampling. Training loaders use it when built;
+    set MUNIT_NATIVE_IMAGEOPS=0 to force the PIL path."""
+    import os
+    if os.environ.get("MUNIT_NATIVE_IMAGEOPS", "1") != "1":
+        return None
+    try:
+        from munit_tpu import native
+        return native if native.available() else None
+    except Exception:
+        return None
+
+
 def image_transform(rng: Optional[np.random.Generator], img: Image.Image,
                     new_size: Optional[int], th: int, tw: int,
                     train: bool, do_crop: bool = True) -> np.ndarray:
     """Single-image pipeline (get_data_loader_list, utils.py:192-250)."""
-    if train and rng is not None and rng.random() < 0.5:
+    flip = bool(train and rng is not None and rng.random() < 0.5)
+
+    nat = _native()
+    if nat is not None and new_size is not None and do_crop:
+        src = np.asarray(img)
+        rh, rw = nat.resized_dims(src.shape[0], src.shape[1], new_size)
+        if train and rng is not None:
+            i = int(rng.integers(0, rh - th + 1)) if rh > th else 0
+            j = int(rng.integers(0, rw - tw + 1)) if rw > tw else 0
+        else:
+            i, j = (rh - th) // 2, (rw - tw) // 2
+        return nat.fused_transform(src, flip, new_size, i, j, th, tw)
+
+    if flip:
         img = img.transpose(Image.FLIP_LEFT_RIGHT)
     if new_size is not None:
         img = resize_shorter(img, new_size)

@@ -117,6 +117,25 @@ def convert_gen_state_dict(sd: StateDict, gen_conf: dict,
     }
 
 
+def convert_vae_gen_state_dict(sd: StateDict, gen_conf: dict) -> dict:
+    """VAEGen (networks.py:391-434): enc = ContentEncoder, dec = Decoder with
+    'in' res norm (no AdaIN buffers, no MLP)."""
+    nd, nr = gen_conf["n_downsample"], gen_conf["n_res"]
+    return {
+        "enc": _content_encoder(sd, "enc", nd, nr),
+        "dec": _decoder(sd, "dec", nd, nr),
+    }
+
+
+def strip_instance_norm_stats(sd: StateDict) -> StateDict:
+    """pytorch03→04 migration (utils.py:1130-1216): drop InstanceNorm
+    running-stat buffers from old checkpoints. The converter ignores unknown
+    ``.norm.running_*`` keys anyway, so this is a no-op safeguard for strict
+    consumers."""
+    return {k: v for k, v in sd.items()
+            if not k.endswith(("norm.running_mean", "norm.running_var"))}
+
+
 def convert_dis_state_dict(sd: StateDict, dis_conf: dict) -> dict:
     """MsImageDis (networks.py:20-70): cnns.{s}.{i} conv blocks + bare last."""
     n_layer = dis_conf["n_layer"]

@@ -76,7 +76,8 @@ def _in_fwd_kernel(x_ref, g_ref, b_ref, o_ref, *, relu: bool, affine: bool):
     var = jnp.sum(d * d, axis=(0, 1), keepdims=True) / hw
     y = d * jax.lax.rsqrt(var + _EPS)
     if affine:
-        y = y * g_ref[0][None, None, :] + b_ref[0][None, None, :]
+        i = pl.program_id(0)
+        y = y * g_ref[i][None, None, :] + b_ref[i][None, None, :]
     if relu:
         y = jnp.maximum(y, 0.0)
     o_ref[0] = y.astype(o_ref.dtype)
@@ -95,8 +96,10 @@ def _run_in_fwd(x, gamma, beta, relu, affine):
         in_specs=[
             pl.BlockSpec((1,) + x.shape[1:], lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # full (B, C) arrays (tiny); indexed by program_id in the kernel —
+            # a (1, C) block would violate the (8, 128) min-tile rule
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1,) + x.shape[1:], lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -187,7 +190,7 @@ def _ln_fwd_kernel(x_ref, g_ref, b_ref, o_ref, *, relu: bool, n: int):
     var_b = jnp.sum(d * d) / n
     std = jnp.sqrt(var_b * (n / (n - 1)))
     y = d / (std + _EPS)
-    y = y * g_ref[0][None, None, :] + b_ref[0][None, None, :]
+    y = y * g_ref[0, 0][None, None, :] + b_ref[0, 0][None, None, :]
     if relu:
         y = jnp.maximum(y, 0.0)
     o_ref[0] = y.astype(o_ref.dtype)
@@ -199,8 +202,8 @@ def whole_layer_norm_fused(x, gamma, beta, relu: bool = False):
     b, h, w, c = x.shape
     n = h * w * c
     kern = functools.partial(_ln_fwd_kernel, relu=relu, n=n)
-    g2 = jnp.broadcast_to(gamma[None, :], (1, c))
-    b2 = jnp.broadcast_to(beta[None, :], (1, c))
+    g2 = jnp.broadcast_to(gamma[None, None, :], (1, 1, c))
+    b2 = jnp.broadcast_to(beta[None, None, :], (1, 1, c))
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -208,8 +211,8 @@ def whole_layer_norm_fused(x, gamma, beta, relu: bool = False):
         in_specs=[
             pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),

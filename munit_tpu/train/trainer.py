@@ -210,6 +210,11 @@ class MUNITTrainer:
         """Attach frozen Cityscapes segmenter variables ({params, batch_stats})."""
         self.frozen["seg"] = variables
 
+    def load_vgg(self, params: Dict[str, Any]):
+        """Attach frozen VGG16 params for the perceptual loss (vgg_w > 0).
+        The reference's loader was dead (utils.py:911-914); this path is live."""
+        self.frozen["vgg"] = params
+
     # ------------------------------------------------------------ optimizer
 
     def _opt_kwargs(self):
@@ -396,6 +401,19 @@ class MUNITTrainer:
             m["loss_gen_adv_b"] = losses.gen_gan_loss(
                 self._dis_apply(state["dis_b"], x_ab), self.gan_type)
 
+            if hw["vgg_w"] > 0:
+                from munit_tpu.nn.vgg import Vgg16, vgg_preprocess
+                vgg = Vgg16()
+                feats = lambda img: vgg.apply(
+                    {"params": self.frozen["vgg"]}, vgg_preprocess(img))
+                m["loss_gen_vgg_a"] = losses.vgg_perceptual_loss(
+                    feats(x_ba), feats(x_b))
+                m["loss_gen_vgg_b"] = losses.vgg_perceptual_loss(
+                    feats(x_ab), feats(x_a))
+            else:
+                m["loss_gen_vgg_a"] = jnp.zeros(())
+                m["loss_gen_vgg_b"] = jnp.zeros(())
+
             if self.semantic_w:
                 m["loss_sem_seg"] = (
                     self._semantic_loss(x_a, x_ab, mask_a, sem_gt_a, has_sem_gt)
@@ -443,6 +461,8 @@ class MUNITTrainer:
                                           + m["loss_gen_recon_c_b"])
                      + hw["recon_x_cyc_w"] * (m["loss_gen_cycrecon_x_a"]
                                               + m["loss_gen_cycrecon_x_b"])
+                     + hw["vgg_w"] * (m["loss_gen_vgg_a"]
+                                      + m["loss_gen_vgg_b"])
                      + hw["semantic_w"] * m["loss_sem_seg"]
                      + hw["domain_adv_w"] * m["domain_adv_loss_gen"]
                      + hw["recon_synth_w"] * m["loss_gen_recon_synth"]
@@ -623,6 +643,19 @@ class MUNITTrainer:
         return metrics
 
     # ------------------------------------------------------------ sampling
+
+    def forward(self, x_a, x_b):
+        """Translation with the fixed display styles (MUNIT_Trainer.forward,
+        trainer.py:307-334): returns (x_ab, x_ba)."""
+        gen_params = self.state["gen"]
+        c_a, s_a_fake = self.gen.encode(gen_params, x_a, 1)
+        c_b, s_b_fake = self.gen.encode(gen_params, x_b, 2)
+        n = x_a.shape[0]
+        s_a = self.state["display_s_a"][:n]
+        s_b = self.state["display_s_b"][:n]
+        x_ba = self.gen.decode(gen_params, c_b, s_a, 1)
+        x_ab = self.gen.decode(gen_params, c_a, s_b, 2)
+        return x_ab, x_ba
 
     def sample_fid(self, x_a, x_b):
         """Guided a→b translation with style from the paired b image
