@@ -45,6 +45,9 @@ _EPS = 1e-5
 
 
 def pallas_available() -> bool:
+    import os
+    if os.environ.get("MUNIT_PALLAS", "1") != "1":
+        return False
     if not _HAS_PALLAS:
         return False
     try:

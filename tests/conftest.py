@@ -20,6 +20,12 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: repeated suite runs skip the expensive CPU
+# compiles of the train-step graphs
+_cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 assert jax.devices()[0].platform == "cpu", (
     f"tests must run on CPU, got {jax.devices()}")
