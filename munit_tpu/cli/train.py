@@ -100,7 +100,12 @@ def main(argv=None):
         from munit_tpu.io.checkpoint import resume
         start = resume(trainer, ckpt_dir)
 
-    loaders = build_loaders(conf, seed=opts.seed)
+    # multi-host: each process loads a disjoint shard of every epoch
+    shard = {}
+    if jax.process_count() > 1:
+        shard = dict(shard_index=jax.process_index(),
+                     shard_count=jax.process_count())
+    loaders = build_loaders(conf, seed=opts.seed, **shard)
 
     # display batches (train.py:132-143)
     display = int(conf["display_size"])

@@ -38,35 +38,70 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--compute_IS", action="store_true")
     p.add_argument("--compute_CIS", action="store_true")
+    p.add_argument("--trainer", default="MUNIT", choices=["MUNIT", "UNIT"])
     p.add_argument("--inception_ckpt", default=None,
-                   help="orbax/npz with converted fine-tuned InceptionV3")
+                   help="pickle/torch .pt with fine-tuned InceptionV3 weights")
     opts = p.parse_args(argv)
 
     conf = get_config(opts.config)
-    gen = GenBundle(conf)
-    params = load_gen_params(opts.checkpoint, conf)
     style_dim = conf["gen"]["style_dim"]
     new_size = conf.get("new_size_a", conf["new_size"])
 
-    enc_dom, dec_dom = (1, 2) if opts.a2b else (2, 1)
+    if opts.trainer == "UNIT":
+        # UNIT semantics (test_batch.py:210-234): single deterministic decode,
+        # no style codes. The reference's UNIT path was broken (its
+        # UNIT_Trainer import doesn't exist); this one loads VAEGen weights.
+        from munit_tpu.io import load_torch_checkpoint
+        from munit_tpu.io.torch_import import convert_vae_gen_state_dict
+        from munit_tpu.nn import VAEGen
+        g = conf["gen"]
+        vae = VAEGen(input_dim=conf["input_dim_a"], dim=g["dim"],
+                     n_downsample=g["n_downsample"], n_res=g["n_res"],
+                     activ=g["activ"], pad_type=g["pad_type"])
+        blob = load_torch_checkpoint(opts.checkpoint)
+        slot = "a" if opts.a2b else "b"
+        dec_slot = "b" if opts.a2b else "a"
+        enc_params = jax.tree.map(
+            jnp.asarray, convert_vae_gen_state_dict(blob[slot], g))
+        dec_params = jax.tree.map(
+            jnp.asarray, convert_vae_gen_state_dict(blob[dec_slot], g))
+        opts.num_style = 1
 
-    @jax.jit
-    def translate(x, styles):
-        c, _ = gen.encode(params, x, enc_dom)
-        outs = []
-        for j in range(opts.num_style):
-            outs.append(gen.decode(params, c, styles[j:j + 1], dec_dom))
-        return jnp.concatenate(outs)
+        @jax.jit
+        def translate(x, styles):
+            hid = vae.apply({"params": enc_params}, x,
+                            jax.random.PRNGKey(0), method="encode")[0]
+            return vae.apply({"params": dec_params}, hid, method="decode")
+    else:
+        gen = GenBundle(conf)
+        params = load_gen_params(opts.checkpoint, conf)
+        enc_dom, dec_dom = (1, 2) if opts.a2b else (2, 1)
+
+        @jax.jit
+        def translate(x, styles):
+            c, _ = gen.encode(params, x, enc_dom)
+            outs = []
+            for j in range(opts.num_style):
+                outs.append(gen.decode(params, c, styles[j:j + 1], dec_dom))
+            return jnp.concatenate(outs)
 
     inception_apply = None
     if opts.compute_IS or opts.compute_CIS:
         from munit_tpu.eval.inception import (
-            InceptionV3, inception_preprocess)
+            InceptionV3, inception_preprocess, convert_inception_state_dict)
         if opts.inception_ckpt is None:
             raise SystemExit("--compute_IS/CIS needs --inception_ckpt")
-        import pickle
-        with open(opts.inception_ckpt, "rb") as f:
-            variables = pickle.load(f)
+        if opts.inception_ckpt.endswith((".pt", ".pth")):
+            import torch
+            sd = {k: v.numpy() for k, v in torch.load(
+                opts.inception_ckpt, map_location="cpu",
+                weights_only=True).items()}
+            variables = jax.tree.map(jnp.asarray,
+                                     convert_inception_state_dict(sd))
+        else:
+            import pickle
+            with open(opts.inception_ckpt, "rb") as f:
+                variables = pickle.load(f)
         net = InceptionV3()
 
         @jax.jit
