@@ -46,6 +46,13 @@ def build_loaders(conf, seed=0, **shard):
             conf["data_list_train_a_synth"], conf["data_list_train_b_synth"],
             conf["data_list_train_b_seg_synth"], conf["seg_list_a"],
             conf["seg_list_b"], conf["batch_size"], True, **kw)
+    if conf.get("eval_fid", 0) > 0 and conf.get("inception_moment_path") and \
+            os.path.exists(str(conf["inception_moment_path"])):
+        from munit_tpu.data import get_fid_data_loader
+        loaders["fid"] = get_fid_data_loader(
+            conf["data_list_fid_a"], conf["data_list_fid_b"],
+            max(conf["batch_size_fid"], 1), new_size=conf["new_size"],
+            num_workers=conf["num_workers"])
     return loaders
 
 

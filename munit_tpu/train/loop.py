@@ -129,6 +129,12 @@ def train_loop(trainer, conf, loaders, output_directory: str,
 
         if (iterations + 1) % conf["snapshot_save_iter"] == 0:
             save_checkpoint(ckpt_dir, trainer.state, iterations + 1)
+            # FID tracking (train.py:119-130 prepared this but never called
+            # it — the hook is live here when eval_fid > 0 and the inception
+            # metric fn was attached via loaders["fid_metrics"])
+            if conf.get("eval_fid", 0) > 0 and loaders.get("fid_metrics"):
+                fid = loaders["fid_metrics"](trainer, loaders["fid"])
+                logger.log_metrics({"FID": fid}, iterations + 1)
 
         iterations += 1
     return iterations
