@@ -1,0 +1,85 @@
+"""Precompute Inception pool moments (mu, sigma) of a real-image set.
+
+The reference assumes a precomputed ``inception_moments.npz`` of "900 flooded
+images" (configs/config_256.yaml:63-64) but ships no tool to produce it; this
+fills that gap:
+
+  python -m munit_tpu.cli.compute_moments --images data/trainB.txt \\
+      --inception_ckpt inception.pkl --out data/inception_moments.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--images", required=True,
+                   help="txt list of image paths, or a folder")
+    p.add_argument("--inception_ckpt", required=True,
+                   help="pickle/torch ckpt of InceptionV3 weights")
+    p.add_argument("--out", required=True)
+    p.add_argument("--new_size", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=8)
+    opts = p.parse_args(argv)
+
+    from munit_tpu.data.datasets import read_filelist, scan_folder
+    from munit_tpu.data import transforms as T
+    from munit_tpu.eval.inception import (
+        InceptionV3, inception_preprocess, convert_inception_state_dict)
+    from PIL import Image
+
+    if os.path.isdir(opts.images):
+        paths = scan_folder(opts.images)
+    else:
+        paths = read_filelist(opts.images)
+
+    if opts.inception_ckpt.endswith((".pt", ".pth")):
+        import torch
+        sd = {k: v.numpy() for k, v in torch.load(
+            opts.inception_ckpt, map_location="cpu",
+            weights_only=True).items()}
+        variables = jax.tree.map(jnp.asarray,
+                                 convert_inception_state_dict(sd))
+    else:
+        with open(opts.inception_ckpt, "rb") as f:
+            variables = pickle.load(f)
+    net = InceptionV3()
+
+    @jax.jit
+    def pool_fn(img_pm1):
+        pool, _ = net.apply(variables, inception_preprocess(img_pm1))
+        return pool
+
+    pools = []
+    batch = []
+    for path in paths:
+        img = T.resize_shorter(Image.open(path).convert("RGB"), opts.new_size)
+        # center-crop to a uniform square so batches stack
+        w, h = img.size
+        s = opts.new_size
+        img = T.crop(img, (h - s) // 2, (w - s) // 2, s, s)
+        batch.append(T.normalize_pm1(T.to_array01(img)))
+        if len(batch) == opts.batch_size:
+            pools.append(np.asarray(pool_fn(jnp.asarray(np.stack(batch)))))
+            batch = []
+    if batch:
+        pools.append(np.asarray(pool_fn(jnp.asarray(np.stack(batch)))))
+    pool = np.concatenate(pools, axis=0)
+
+    mu = pool.mean(axis=0)
+    sigma = np.cov(pool, rowvar=False)
+    np.savez(opts.out, mu=mu, sigma=sigma)
+    print(f"Wrote moments of {len(pool)} images to {opts.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -493,16 +493,16 @@ class MUNITTrainer:
             out_a, stats_a = self._dann_apply(params, state["dann_stats"], c_a)
             out_b, stats_b = self._dann_apply(params, stats_a, c_b)
             loss = losses.domain_adv_loss(out_a, out_b, minimize=True)
-            return loss, (stats_b, out_a, out_b)
+            return loss, (loss, stats_b, out_a, out_b)
 
-        grads, (new_stats, out_a, out_b) = jax.grad(
+        grads, (loss, new_stats, out_a, out_b) = jax.grad(
             loss_fn, has_aux=True)(state["dann"])
         new_params, new_opt = self._opt_update(
             grads, state["dann_opt"], state["dann"], lr, extrapolate)
         state["dann"] = new_params
         state["dann_stats"] = new_stats
         state["dann_opt"] = new_opt
-        metrics = {"domain_class_loss": jnp.zeros(()),
+        metrics = {"domain_class_loss": loss,
                    "prob_a_as_a": jax.nn.sigmoid(out_a[0, 0]),
                    "prob_b_as_b": jax.nn.sigmoid(out_b[0, 0])}
         return state, metrics
