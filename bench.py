@@ -58,8 +58,10 @@ def main():
         jax.random.PRNGKey(1), jnp.zeros((1, CROP, CROP, 3))))
 
     rng = np.random.RandomState(0)
-    x_a = jnp.asarray(rng.randn(BATCH, CROP, CROP, 3).astype(np.float32))
-    x_b = jnp.asarray(rng.randn(BATCH, CROP, CROP, 3).astype(np.float32))
+    act_dtype = jnp.bfloat16 if os.environ.get("BENCH_ACT_BF16") == "1" \
+        else jnp.float32
+    x_a = jnp.asarray(rng.randn(BATCH, CROP, CROP, 3), act_dtype)
+    x_b = jnp.asarray(rng.randn(BATCH, CROP, CROP, 3), act_dtype)
     mask = jnp.asarray((rng.rand(BATCH, CROP, CROP, 1) > 0.5)
                        .astype(np.float32))
 
