@@ -22,7 +22,7 @@ _lib = None
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
+            ["g++", "-O3", "-ffast-math", "-funroll-loops", "-march=native", "-shared", "-fPIC", _SRC,
              "-o", _SO],
             check=True, capture_output=True, timeout=120)
         return True

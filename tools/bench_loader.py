@@ -1,0 +1,52 @@
+"""Data-loader throughput benchmark: PIL chain vs native C++ fused path.
+
+  python tools/bench_loader.py [n_images] [workers]
+"""
+
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+from PIL import Image
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    workers = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    tmp = tempfile.mkdtemp()
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(32):
+        p = os.path.join(tmp, f"im{i}.jpg")
+        Image.fromarray(rng.randint(0, 255, (600, 800, 3), np.uint8)).save(p)
+        paths.append(p)
+    flist = os.path.join(tmp, "list.txt")
+    with open(flist, "w") as f:
+        f.write("\n".join(paths * (n // 32 + 1)))
+
+    from munit_tpu.data import get_data_loader_mask_and_im
+
+    for native_flag in ("0", "1"):
+        os.environ["MUNIT_NATIVE_IMAGEOPS"] = native_flag
+        loader = get_data_loader_mask_and_im(
+            flist, None, batch_size=8, train=True, new_size=286, height=256,
+            width=256, num_workers=workers)
+        it = iter(loader)
+        next(it)  # warm
+        t0 = time.time()
+        seen = 0
+        for batch in it:
+            seen += batch["image"].shape[0]
+            if seen >= n:
+                break
+        dt = time.time() - t0
+        label = "native" if native_flag == "1" else "PIL"
+        print(f"{label:>6}: {seen / dt:8.1f} images/sec "
+              f"({workers} workers, 800x600 jpg -> 256^2 crop)")
+
+
+if __name__ == "__main__":
+    main()
