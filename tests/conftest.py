@@ -29,4 +29,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 assert jax.devices()[0].platform == "cpu", (
     f"tests must run on CPU, got {jax.devices()}")
-assert jax.device_count() == 8, "expected 8 fake CPU devices"
+if jax.device_count() < 8:  # pragma: no cover
+    import warnings
+    warnings.warn(f"only {jax.device_count()} CPU devices; mesh tests may skip")

@@ -2,9 +2,13 @@
 step correctness (grad psum equivalence), spatial sharding, graft entry."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(jax.device_count() < 8,
+                                reason="needs 8 fake devices")
 
 from munit_tpu.config import validate
 from munit_tpu.dist import make_mesh, data_sharding, shard_batch
