@@ -65,6 +65,10 @@ def main(argv=None):
                    help="data-parallel over all devices")
     p.add_argument("--time_steps", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--comet", action="store_true",
+                   help="attach a comet_ml Experiment (train.py:55 parity)")
+    p.add_argument("--project", default="munit-tpu")
+    p.add_argument("--workspace", default=None)
     opts = p.parse_args(argv)
 
     conf = get_config(opts.config)
@@ -73,7 +77,15 @@ def main(argv=None):
     ckpt_dir, img_dir = prepare_sub_folder(output_directory)
     shutil.copy(opts.config, os.path.join(output_directory, "config.yaml"))
 
-    logger = MetricLogger(output_directory)
+    comet_exp = None
+    if opts.comet:
+        try:
+            from comet_ml import Experiment
+            comet_exp = Experiment(workspace=opts.workspace,
+                                   project_name=opts.project)
+        except ImportError:
+            print("WARNING: comet_ml not installed; continuing without it")
+    logger = MetricLogger(output_directory, comet_experiment=comet_exp)
     logger.log_parameters(flatten_opts(conf))
 
     trainer = MUNITTrainer(conf, jax.random.PRNGKey(opts.seed))
