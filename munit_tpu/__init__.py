@@ -16,3 +16,19 @@ evaluation — redesigned TPU-first:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import munit_tpu` light)."""
+    top = {
+        "MUNITTrainer": ("munit_tpu.train", "MUNITTrainer"),
+        "GenBundle": ("munit_tpu.train", "GenBundle"),
+        "get_config": ("munit_tpu.config", "get_config"),
+        "make_mesh": ("munit_tpu.dist", "make_mesh"),
+        "TranslationService": ("munit_tpu.serve", "TranslationService"),
+    }
+    if name in top:
+        import importlib
+        mod, attr = top[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'munit_tpu' has no attribute '{name}'")
