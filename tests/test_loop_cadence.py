@@ -1,0 +1,117 @@
+"""Cadence parity: the loop calls exactly the updates the reference's
+train.py:159-330 would, at the same iterations, with a spy trainer."""
+
+import numpy as np
+
+from munit_tpu.config import validate
+from munit_tpu.train.loop import train_loop
+
+
+class SpyTrainer:
+    def __init__(self, conf):
+        self.calls = []
+        self.iterations = 0
+        ad = conf["adaptation"]
+        self.use_classifier_sr = ad["dfeat_lambda"] > 0
+        self.use_output_classifier_sr = ad["output_classifier_lambda"] > 0
+        self.train_seg = ad["sem_seg_lambda"] > 0
+        self.state = {"gen": 0}
+
+    def update_learning_rate(self):
+        pass
+
+    def _log(self, name):
+        self.calls.append((self.iterations, name))
+        return {}
+
+    def dis_update(self, *a, **k):
+        return self._log("dis")
+
+    def gen_update(self, *a, synth=False, **k):
+        return self._log("gen_synth" if synth else "gen")
+
+    def domain_classifier_update(self, *a, **k):
+        return self._log("dann")
+
+    def domain_classifier_sr_update(self, *a, domain_synth=False, **k):
+        return self._log("sr_synth" if domain_synth else "sr")
+
+    def output_domain_classifier_sr_update(self, *a, **k):
+        return self._log("out_sr")
+
+    def segmentation_head_update(self, *a, **k):
+        return self._log("seg_head")
+
+    def sample(self, *a):
+        return tuple(np.zeros((1, 4, 4, 3), np.float32) for _ in range(8))
+
+
+class FakeLoader:
+    def __init__(self, synth=False):
+        self.synth = synth
+
+    def __iter__(self):
+        while True:
+            if self.synth:
+                yield {"image_a": np.zeros((1, 4, 4, 3), np.float32),
+                       "image_b": np.zeros((1, 4, 4, 3), np.float32),
+                       "mask": np.zeros((1, 4, 4, 1), np.float32),
+                       "sem_a": np.zeros((1, 4, 4), np.int32),
+                       "sem_b": np.zeros((1, 4, 4), np.int32)}
+            else:
+                yield {"image": np.zeros((1, 4, 4, 3), np.float32),
+                       "mask": np.zeros((1, 4, 4, 1), np.float32)}
+
+
+def run(conf_over, iters=6, synth_loader=True):
+    conf = validate(dict({
+        "ratio_disc_gen": 3, "log_iter": 100, "snapshot_save_iter": 1000,
+        "image_save_iter": 1000, "image_display_iter": 1000,
+    }, **conf_over))
+    tr = SpyTrainer(conf)
+    loaders = {"a": FakeLoader(), "b": FakeLoader()}
+    if synth_loader:
+        loaders["synth"] = FakeLoader(synth=True)
+    train_loop(tr, conf, loaders, "/tmp/cadence_out", max_iter=iters)
+    return tr.calls
+
+
+def test_basic_cadence():
+    calls = run({})
+    # dis every iteration; gen when (it+1) % 3 == 0 (train.py:184)
+    assert [it for it, n in calls if n == "dis"] == list(range(6))
+    assert [it for it, n in calls if n == "gen"] == [2, 5]
+    assert not any(n in ("dann", "sr", "out_sr") for _, n in calls)
+
+
+def test_domain_adv_cadence():
+    calls = run({"domain_adv_w": 1.0})
+    assert [it for it, n in calls if n == "dann"] == list(range(6))
+
+
+def test_sr_classifier_cadence():
+    calls = run({"adaptation": {"dfeat_lambda": 1.0, "classif_frequency": 2}})
+    # (it+1) % 2 == 0 (train.py:194-198)
+    assert [it for it, n in calls if n == "sr"] == [1, 3, 5]
+
+
+def test_synthetic_cadence():
+    calls = run({"synthetic_frequency": 2, "synthetic_seg_gt": 1,
+                 "adaptation": {"sem_seg_lambda": 1.0}})
+    # synth dis+gen when it % 2 == 0 (train.py:230); seg head EVERY iteration
+    # while synthetic_frequency > 0 (train.py:275 indentation)
+    synth_gens = [it for it, n in calls if n == "gen_synth"]
+    assert synth_gens == [0, 2, 4]
+    assert [it for it, n in calls if n == "seg_head"] == list(range(6))
+    # per synth iteration there are TWO dis calls (real + synthetic)
+    dis_counts = {}
+    for it, n in calls:
+        if n == "dis":
+            dis_counts[it] = dis_counts.get(it, 0) + 1
+    assert dis_counts == {0: 2, 1: 1, 2: 2, 3: 1, 4: 2, 5: 1}
+
+
+def test_output_sr_cadence():
+    calls = run({"adaptation": {"output_classifier_lambda": 1.0,
+                                "output_classif_freq": 3}})
+    assert [it for it, n in calls if n == "out_sr"] == [2, 5]
