@@ -22,7 +22,6 @@ unbiased std with eps on the std).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

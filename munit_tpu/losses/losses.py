@@ -13,7 +13,7 @@ Citations into /root/reference/scripts:
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ tracked in 'batch_stats' for eval).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import flax.linen as nn
 
 from munit_tpu.core import ops, init

@@ -19,7 +19,6 @@ from __future__ import annotations
 from typing import Callable, List
 
 import jax
-import jax.numpy as jnp
 import flax.linen as nn
 
 from munit_tpu.core import ops, init

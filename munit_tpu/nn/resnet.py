@@ -18,7 +18,6 @@ uses train-mode batch norm via flax BatchNorm.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
