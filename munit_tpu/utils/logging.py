@@ -16,13 +16,22 @@ from typing import Dict, Optional
 
 class MetricLogger:
     def __init__(self, output_dir: Optional[str] = None, stdout: bool = True,
-                 comet_experiment=None):
+                 comet_experiment=None, tensorboard: bool = False):
         self.stdout = stdout
         self.comet = comet_experiment
         self.jsonl = None
+        self.tb = None
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
             self.jsonl = open(os.path.join(output_dir, "metrics.jsonl"), "a")
+        if tensorboard and output_dir:
+            # write_loss/tensorboardX in the reference was vestigial
+            # (utils.py:837-846, no writer constructed); live here
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self.tb = SummaryWriter(os.path.join(output_dir, "tb"))
+            except ImportError:
+                pass
 
     def log_metrics(self, metrics: Dict, step: int):
         scalars = {k: float(v) for k, v in metrics.items()}
@@ -32,6 +41,9 @@ class MetricLogger:
         if self.stdout:
             parts = " ".join(f"{k}={v:.4f}" for k, v in scalars.items())
             print(f"[{step}] {parts}", flush=True)
+        if self.tb is not None:
+            for k, v in scalars.items():
+                self.tb.add_scalar(k, v, step)
         if self.comet is not None:
             for k, v in scalars.items():
                 self.comet.log_metric(k, v, step=step)
