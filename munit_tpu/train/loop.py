@@ -62,6 +62,8 @@ def train_loop(trainer, conf, loaders, output_directory: str,
         from munit_tpu.dist import shard_batch
         maybe_shard = lambda x: shard_batch(mesh, x)
 
+    pending = []
+    flush_every = max(1, 100 // max(conf["log_iter"], 1))
     iterations = start_iteration
     while iterations < max_iter:
         ba = maybe_shard(next(it_a))
@@ -114,7 +116,14 @@ def train_loop(trainer, conf, loaders, output_directory: str,
                 jax.block_until_ready(trainer.state["gen"])
 
         if (iterations + 1) % conf["log_iter"] == 0:
-            logger.log_metrics(metrics, iterations + 1)
+            # buffer device scalars; materialize in batches so logging never
+            # forces a per-iteration device sync (the reference synced every
+            # step, train.py:225)
+            pending.append((iterations + 1, metrics))
+            if len(pending) >= flush_every:
+                for step_, m_ in pending:
+                    logger.log_metrics(m_, step_)
+                pending.clear()
 
         if display_batches is not None:
             tr_a, tr_b, te_a, te_b = display_batches
@@ -137,4 +146,6 @@ def train_loop(trainer, conf, loaders, output_directory: str,
                 logger.log_metrics({"FID": fid}, iterations + 1)
 
         iterations += 1
+    for step_, m_ in pending:
+        logger.log_metrics(m_, step_)
     return iterations
