@@ -147,3 +147,20 @@ def test_full_size_shapes_and_jit():
     dv = jax.eval_shape(lambda: jdis.init(jax.random.PRNGKey(0), x))
     outs = jax.eval_shape(lambda v: jdis.apply(v, x), dv)
     assert [o.shape for o in outs] == [(1, 16, 16, 1), (1, 8, 8, 1), (1, 4, 4, 1)]
+
+
+def test_hd_shapes():
+    # config_HD: 512² crops (configs/config_HD.yaml) — abstract-shape check
+    p = tm.GEN_PARAMS
+    jgen = AdaINGenDual(input_dim=3, dim=p["dim"], style_dim=p["style_dim"],
+                        n_downsample=p["n_downsample"], n_res=p["n_res"],
+                        mlp_dim=p["mlp_dim"])
+    x = jnp.zeros((1, 512, 512, 3))
+    variables = jax.eval_shape(lambda: jgen.init(jax.random.PRNGKey(0), x, 1))
+    c, s = jax.eval_shape(
+        lambda v: jgen.apply(v, x, 1, method="encode"), variables)
+    assert c.shape == (1, 128, 128, 256)
+    y = jax.eval_shape(
+        lambda v, c, s: jgen.apply(v, c, s, 1, method="decode"),
+        variables, c, s)
+    assert y.shape == (1, 512, 512, 3)
