@@ -317,15 +317,25 @@ class MUNITTrainer:
 
     # --- generator ---------------------------------------------------------
 
-    def _semantic_loss(self, img_src, img_tr, mask, sem_gt, has_sem_gt):
-        """compute_semantic_seg_loss (trainer.py:706-771). NHWC logits."""
+    def _semantic_targets(self, x_a, x_b, sem_gt_a, sem_gt_b, has_sem_gt):
+        """Pseudo-label targets from the FROZEN segmenter on the source
+        images (trainer.py:741). No gradient flows through them, so they are
+        computed OUTSIDE the differentiated closure — halves segmenter work
+        in the gen step vs the reference's inline computation."""
+        if has_sem_gt:
+            return sem_gt_a.astype(jnp.int32), sem_gt_b.astype(jnp.int32)
+        t_a = jnp.argmax(self._segment(x_a), axis=-1)
+        t_b = jnp.argmax(self._segment(x_b), axis=-1)
+        return jax.lax.stop_gradient(t_a), jax.lax.stop_gradient(t_b)
+
+    def _semantic_loss(self, img_tr, target, mask, has_sem_gt):
+        """compute_semantic_seg_loss (trainer.py:706-771). NHWC logits;
+        gradient flows through the translated image only."""
         logits = self._segment(img_tr)
         if has_sem_gt:
-            target = sem_gt.astype(jnp.int32)          # (B,H,W)
             logits = jnp.einsum("bhwc,cd->bhwd", logits, self.merge_m)
             n_cls = 10
         else:
-            target = jnp.argmax(self._segment(img_src), axis=-1)
             n_cls = 19
         if not self.full_adaptation and mask is not None:
             m = ops.resize_nearest(mask, (self.crop, self.crop))[..., 0]
@@ -342,6 +352,9 @@ class MUNITTrainer:
         s_a = jax.random.normal(k1, (bsz, self.style_dim), x_a.dtype)
         s_b = jax.random.normal(k2, (bsz, self.style_dim), x_b.dtype)
         use_cyc = hw["recon_x_cyc_w"] > 0
+        if self.semantic_w:
+            sem_tgt_a, sem_tgt_b = self._semantic_targets(
+                x_a, x_b, sem_gt_a, sem_gt_b, has_sem_gt)
 
         def loss_fn(gen_params):
             gen = self.gen
@@ -416,9 +429,8 @@ class MUNITTrainer:
 
             if self.semantic_w:
                 m["loss_sem_seg"] = (
-                    self._semantic_loss(x_a, x_ab, mask_a, sem_gt_a, has_sem_gt)
-                    + self._semantic_loss(x_b, x_ba, mask_b, sem_gt_b,
-                                          has_sem_gt))
+                    self._semantic_loss(x_ab, sem_tgt_a, mask_a, has_sem_gt)
+                    + self._semantic_loss(x_ba, sem_tgt_b, mask_b, has_sem_gt))
             else:
                 m["loss_sem_seg"] = jnp.zeros(())
 
