@@ -251,8 +251,14 @@ class MUNITTrainer:
         return out, updates["batch_stats"]
 
     def _segment(self, img_pm1):
-        """Frozen segmenter logits (B,H,W,19) from a [-1,1] image."""
-        return self.seg_model_def.apply(self.frozen["seg"], seg_preprocess(img_pm1))
+        """Frozen segmenter logits (B,H,W,19) from a [-1,1] image.
+        Rematerialized: the backward through the semantic loss recomputes the
+        ResNet34 forward instead of storing its activations — a large HBM
+        saving on the gen step for one extra (cheap, frozen) forward."""
+        def run(img):
+            return self.seg_model_def.apply(self.frozen["seg"],
+                                            seg_preprocess(img))
+        return jax.checkpoint(run)(img_pm1)
 
     # -------------------------------------------------------------- steps
 
