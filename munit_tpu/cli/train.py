@@ -36,16 +36,20 @@ def build_loaders(conf, seed=0, **shard):
               seed=seed, **shard)
     mask_a = conf.get("data_list_train_a_seg") if conf["semantic_w"] > 0 else None
     mask_b = conf.get("data_list_train_b_seg") if conf["semantic_w"] > 0 else None
+    # distinct seeds per stream so A/B/synth shuffles are independent
     loaders["a"] = get_data_loader_mask_and_im(
-        conf["data_list_train_a"], mask_a, conf["batch_size"], True, **kw)
+        conf["data_list_train_a"], mask_a, conf["batch_size"], True,
+        **{**kw, "seed": seed})
     loaders["b"] = get_data_loader_mask_and_im(
-        conf["data_list_train_b"], mask_b, conf["batch_size"], True, **kw)
+        conf["data_list_train_b"], mask_b, conf["batch_size"], True,
+        **{**kw, "seed": seed + 1})
     if conf.get("data_list_train_a_synth") and \
             os.path.exists(str(conf["data_list_train_a_synth"])):
         loaders["synth"] = get_synthetic_data_loader(
             conf["data_list_train_a_synth"], conf["data_list_train_b_synth"],
             conf["data_list_train_b_seg_synth"], conf["seg_list_a"],
-            conf["seg_list_b"], conf["batch_size"], True, **kw)
+            conf["seg_list_b"], conf["batch_size"], True,
+            **{**kw, "seed": seed + 2})
     if conf.get("eval_fid", 0) > 0 and conf.get("inception_moment_path") and \
             os.path.exists(str(conf["inception_moment_path"])):
         from munit_tpu.data import get_fid_data_loader
