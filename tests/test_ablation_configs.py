@@ -21,17 +21,40 @@ TINY = {
 }
 
 
-@pytest.mark.parametrize("name", ["Baseline", "FeatureDA", "Output_DA"])
-def test_ablation_config_one_iteration(name):
+ALL_ABLATIONS = ["Baseline", "Baseline+seg", "FeatureDA", "FeatureDA+seg",
+                 "FeatureDA+height30_seg", "Output_DA", "Output_DA+seg"]
+
+
+@pytest.mark.parametrize("name", ALL_ABLATIONS)
+def test_ablation_config_builds_trainer(name):
+    """Every grid config loads, validates, and constructs its trainer with
+    the right optional components (full-step coverage of each component
+    lives in test_trainer.py — this keeps the grid cheap)."""
     from munit_tpu.train import MUNITTrainer
     conf = get_config(f"configs/final_test/{name}.yaml")
     conf.update(TINY)
     conf = validate(conf)
+    tr = MUNITTrainer(conf, jax.random.PRNGKey(0))
+    ad = conf["adaptation"]
+    assert tr.use_classifier_sr == (ad["dfeat_lambda"] > 0)
+    assert tr.use_output_classifier_sr == (ad["output_classifier_lambda"] > 0)
+    if tr.use_classifier_sr:
+        assert "classifier_sr_a" in tr.state
+    if tr.use_output_classifier_sr:
+        assert "output_classifier_sr_a" in tr.state
+
+
+def test_featureda_full_iteration():
+    """One grid flavor end-to-end: FeatureDA exercises the sr-classifier path
+    plus the synthetic-pair update with semantic GT."""
+    from munit_tpu.train import MUNITTrainer
+    conf = get_config("configs/final_test/FeatureDA.yaml")
+    conf.update(TINY)
+    conf = validate(conf)
 
     tr = MUNITTrainer(conf, jax.random.PRNGKey(0))
-    if conf["semantic_w"] > 0:
-        tr.load_segmenter(tr.seg_model_def.init(
-            jax.random.PRNGKey(1), jnp.zeros((1, CROP, CROP, 3))))
+    tr.load_segmenter(tr.seg_model_def.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, CROP, CROP, 3))))
 
     rng = np.random.RandomState(0)
     x_a = jnp.asarray(rng.randn(2, CROP, CROP, 3).astype(np.float32))
@@ -41,17 +64,10 @@ def test_ablation_config_one_iteration(name):
 
     tr.iterations = 0
     metrics = dict(tr.dis_update(x_a, x_b))
-    metrics.update(tr.gen_update(x_a, x_b, mask, mask))
-    # the synthetic-pair update every config in the grid schedules
     metrics.update(tr.gen_update(x_a, x_b, mask, mask, synth=True,
                                  sem_gt_a=sem, sem_gt_b=sem))
-    if tr.use_classifier_sr:
-        metrics.update(tr.domain_classifier_sr_update(
-            x_a, x_b, domain_synth=False,
-            lamb=conf["adaptation"]["dfeat_lambda"]))
-    if tr.use_output_classifier_sr:
-        metrics.update(tr.output_domain_classifier_sr_update(
-            x_a, x_a, x_b, x_b))
-
+    metrics.update(tr.domain_classifier_sr_update(
+        x_a, x_b, domain_synth=False,
+        lamb=conf["adaptation"]["dfeat_lambda"]))
     for k, v in metrics.items():
-        assert np.isfinite(np.asarray(v)).all(), f"{name}: {k} not finite"
+        assert np.isfinite(np.asarray(v)).all(), f"{k} not finite"
