@@ -19,6 +19,11 @@ import time
 
 import numpy as np
 
+# Default the bench to the XLA-only path: Mosaic (Pallas) kernel compiles add
+# many minutes to the first remote compile for no measured win yet (BENCH.md).
+# Override with MUNIT_PALLAS=1 to A/B the fused kernels.
+os.environ.setdefault("MUNIT_PALLAS", "0")
+
 REFERENCE_H100_IMAGES_PER_SEC = 20.0
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 WARMUP = 4

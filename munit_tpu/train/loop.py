@@ -137,7 +137,8 @@ def train_loop(trainer, conf, loaders, output_directory: str,
                               "train_current", logger)
 
         if (iterations + 1) % conf["snapshot_save_iter"] == 0:
-            save_checkpoint(ckpt_dir, trainer.state, iterations + 1)
+            save_checkpoint(ckpt_dir, trainer.state, iterations + 1,
+                            keep=conf.get("snapshot_keep"))
             # FID tracking (train.py:119-130 prepared this but never called
             # it — the hook is live here when eval_fid > 0 and the inception
             # metric fn was attached via loaders["fid_metrics"])
