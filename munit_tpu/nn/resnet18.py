@@ -83,6 +83,19 @@ class FloodClassifier(nn.Module):
         return x @ kw + kb
 
 
+def flood_classifier_transform(img):
+    """transform_torchVar (utils.py:177-189): PIL → resize 256 → center-crop
+    224 → ImageNet-normalized NHWC float32 (the flood classifier's input)."""
+    from munit_tpu.data import transforms as T
+    img = T.resize_shorter(img.convert("RGB"), 256)
+    w, h = img.size
+    img = T.crop(img, (h - 224) // 2, (w - 224) // 2, 224, 224)
+    arr = T.to_array01(img)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    return (arr - mean) / std
+
+
 def convert_resnet18_state_dict(sd) -> dict:
     """torchvision resnet18 state_dict (with replaced 2-way fc) → variables."""
     params: dict = {}
