@@ -92,11 +92,15 @@ class GenBundle:
                 "b": self.module.init(rb, sample)["params"]}
 
     def encode(self, params: Params, x: jax.Array, domain: int):
-        if self.gen_state == 1:
-            return self.module.apply({"params": params}, x, domain,
-                                     method="encode")
-        p = params["a"] if domain == 1 else params["b"]
-        return self.module.apply({"params": p}, x, method="encode")
+        def run(params, x):
+            if self.gen_state == 1:
+                return self.module.apply({"params": params}, x, domain,
+                                         method="encode")
+            p = params["a"] if domain == 1 else params["b"]
+            return self.module.apply({"params": p}, x, method="encode")
+        if self.remat:
+            run = jax.checkpoint(run)
+        return run(params, x)
 
     def decode(self, params: Params, c: jax.Array, s: jax.Array, domain: int):
         def run(params, c, s):
