@@ -53,14 +53,16 @@ def train_loop(trainer, conf, loaders, output_directory: str,
     ad = conf["adaptation"]
     display = int(conf["display_size"])
 
-    it_a = iter(loaders["a"])
-    it_b = iter(loaders["b"])
-    it_s = iter(loaders["synth"]) if loaders.get("synth") else None
-
-    maybe_shard = (lambda x: x)
+    from munit_tpu.data.loader import device_prefetch
+    sharding = None
     if mesh is not None:
-        from munit_tpu.dist import shard_batch
-        maybe_shard = lambda x: shard_batch(mesh, x)
+        from munit_tpu.dist import data_sharding
+        sharding = data_sharding(mesh)
+    it_a = device_prefetch(iter(loaders["a"]), size=2, sharding=sharding)
+    it_b = device_prefetch(iter(loaders["b"]), size=2, sharding=sharding)
+    it_s = (device_prefetch(iter(loaders["synth"]), size=2, sharding=sharding)
+            if loaders.get("synth") else None)
+    maybe_shard = (lambda x: x)  # prefetch already placed the arrays
 
     pending = []
     flush_every = max(1, 100 // max(conf["log_iter"], 1))
