@@ -90,7 +90,12 @@ def main(argv=None):
         except ImportError:
             print("WARNING: comet_ml not installed; continuing without it")
     logger = MetricLogger(output_directory, comet_experiment=comet_exp)
-    logger.log_parameters(flatten_opts(conf))
+    from munit_tpu.utils.misc import get_git_revision_hash
+    params = dict(flatten_opts(conf))
+    git_hash = get_git_revision_hash()
+    if git_hash:
+        params["git_hash"] = git_hash
+    logger.log_parameters(params)
 
     trainer = MUNITTrainer(conf, jax.random.PRNGKey(opts.seed))
     if conf["semantic_w"] > 0 and conf.get("semantic_ckpt_path") and \

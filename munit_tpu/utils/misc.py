@@ -15,6 +15,24 @@ def prepare_sub_folder(output_directory: str):
     return checkpoint_directory, image_directory
 
 
+def eformat(f: float, prec: int) -> str:
+    """Compact scientific formatting (utils.py:761-766)."""
+    s = "%.*e" % (prec, f)
+    mantissa, exp = s.split("e")
+    return "%se%d" % (mantissa, int(exp))
+
+
+def get_git_revision_hash() -> Optional[str]:
+    """Current git hash for run provenance (utils.py:1438-1444)."""
+    import subprocess
+    try:
+        return subprocess.check_output(
+            ["git", "rev-parse", "HEAD"],
+            stderr=subprocess.DEVNULL).decode().strip()
+    except Exception:
+        return None
+
+
 def get_model_list(dirname: str, key: str) -> Optional[str]:
     """Lexicographically-last checkpoint file containing ``key``."""
     if not os.path.exists(dirname):
