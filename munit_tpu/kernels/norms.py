@@ -36,10 +36,13 @@ try:
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
-# The kernel keeps ~3 slab-sized values live (input, centered, output), so
-# the slab must be ≤ ~1/4 of the 16MB VMEM. 4MB covers the content-resolution
-# feature maps (64×64×256 f32) where all 16 AdaIN/IN res-block layers live.
-_VMEM_BUDGET_BYTES = 4 * 1024 * 1024
+# The kernel keeps ~3 slab-sized values live (input, centered, output).
+# Empirically (BENCH.md r1): 4MB slabs (64×64×256 f32 — the res-block layers
+# at 256² training) pass in isolation but OOM scoped VMEM when XLA schedules
+# the custom call inside the full train-step graph next to conv buffers, so
+# the dispatch threshold is conservative. Larger-slab coverage needs a tiled
+# two-pass design (r2).
+_VMEM_BUDGET_BYTES = 2 * 1024 * 1024
 _EPS = 1e-5
 
 
