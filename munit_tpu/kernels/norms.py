@@ -244,6 +244,39 @@ whole_layer_norm_fused.defvjp(_ln_fwd, _ln_bwd)
 
 
 # ---------------------------------------------------------------------------
+# jnp reference paths with the SAME custom VJPs
+#
+# Default autodiff through the norms saves the f32-upcast input plus
+# normalized intermediates as residuals — at batch 16/256² those f32 copies
+# are the largest HBM buffers in the train step (BENCH.md). These wrappers
+# keep the XLA forward but recompute stats in the backward, so the only
+# residual is x itself (in its own dtype).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def instance_norm_ref(x, relu: bool = False):
+    y = _ops.instance_norm(x)
+    return jnp.maximum(y, 0) if relu else y
+
+
+instance_norm_ref.defvjp(lambda x, relu: (instance_norm_ref(x, relu), (x,)),
+                         _in_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def adain_ref(x, gamma, beta, relu: bool = False):
+    y = _ops.adain(x, gamma, beta)
+    return jnp.maximum(y, 0) if relu else y
+
+
+adain_ref.defvjp(
+    lambda x, gamma, beta, relu: (adain_ref(x, gamma, beta, relu),
+                                  (x, gamma, beta)),
+    _adain_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Dispatchers (used by nn blocks when enabled)
 # ---------------------------------------------------------------------------
 
@@ -251,12 +284,10 @@ whole_layer_norm_fused.defvjp(_ln_fwd, _ln_bwd)
 def maybe_instance_norm(x, relu=False):
     if pallas_available() and _slab_fits(x):
         return instance_norm_fused(x, relu)
-    y = _ops.instance_norm(x)
-    return jnp.maximum(y, 0) if relu else y
+    return instance_norm_ref(x, relu)
 
 
 def maybe_adain(x, gamma, beta, relu=False):
     if pallas_available() and _slab_fits(x):
         return adain_fused(x, gamma, beta, relu)
-    y = _ops.adain(x, gamma, beta)
-    return jnp.maximum(y, 0) if relu else y
+    return adain_ref(x, gamma, beta, relu)
