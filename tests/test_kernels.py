@@ -54,6 +54,22 @@ def test_whole_layer_norm_fused_fwd(data):
         np.asarray(ops.whole_layer_norm(x, g, b)), rtol=1e-4, atol=1e-5)
 
 
+def test_ref_paths_bf16():
+    # jnp fallbacks with custom VJPs keep bf16 output dtype and finite grads
+    from munit_tpu.kernels.norms import instance_norm_ref, adain_ref
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 8, 16, 128), jnp.bfloat16)
+    g = jnp.asarray(rng.randn(2, 128), jnp.float32)
+    b = jnp.asarray(rng.randn(2, 128), jnp.float32)
+    y = instance_norm_ref(x, True)
+    assert y.dtype == jnp.bfloat16
+    dx = jax.grad(lambda x: jnp.sum(
+        instance_norm_ref(x, True).astype(jnp.float32)))(x)
+    assert np.isfinite(np.asarray(dx, dtype=np.float32)).all()
+    y2 = adain_ref(x, g, b, False)
+    assert y2.dtype == jnp.bfloat16
+
+
 @pytest.mark.parametrize("relu", [False, True])
 def test_adain_fused_grads(data, relu):
     x, gamma, beta = data
