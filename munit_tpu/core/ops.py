@@ -37,17 +37,26 @@ def pad2d(x: jax.Array, padding: int, mode: str) -> jax.Array:
     """Spatially pad an NHWC tensor.
 
     mode: 'reflect' | 'replicate' | 'zero'  (networks.py:641-649)
+
+    The result is tagged ``conv_pad`` (jax.ad_checkpoint.checkpoint_name):
+    inert under plain autodiff, but inside a jax.checkpoint region with the
+    save-everything-except-conv_pad policy (GenBundle) the padded copies —
+    the largest train-step HBM buffers at big batches (BENCH.md) — are
+    recomputed in the backward instead of stored. Recompute cost ≈ a pad.
     """
     if padding == 0:
         return x
+    from jax.ad_checkpoint import checkpoint_name
     p = ((0, 0), (padding, padding), (padding, padding), (0, 0))
     if mode == "reflect":
-        return jnp.pad(x, p, mode="reflect")
-    if mode == "replicate":
-        return jnp.pad(x, p, mode="edge")
-    if mode == "zero":
-        return jnp.pad(x, p, mode="constant")
-    raise ValueError(f"Unsupported padding type: {mode}")
+        y = jnp.pad(x, p, mode="reflect")
+    elif mode == "replicate":
+        y = jnp.pad(x, p, mode="edge")
+    elif mode == "zero":
+        y = jnp.pad(x, p, mode="constant")
+    else:
+        raise ValueError(f"Unsupported padding type: {mode}")
+    return checkpoint_name(y, "conv_pad")
 
 
 # ---------------------------------------------------------------------------

@@ -61,15 +61,21 @@ def merge_class_matrix() -> np.ndarray:
 class GenBundle:
     """Uniform interface over gen_state 0 (two AdaINGen) and 1 (dual).
 
-    remat=True wraps decode in jax.checkpoint — rematerializes decoder
-    activations in the backward pass, trading FLOPs for HBM (required for the
-    HD config's 512² crops, SURVEY.md §7 hard part 6)."""
+    remat policy:
+    - default: encode/decode run under a jax.checkpoint whose policy saves
+      EVERYTHING except the ``conv_pad``-named padded conv inputs — those
+      copies dominate train-step HBM at larger batches (BENCH.md) and cost
+      only a re-pad to recompute;
+    - remat=True: full rematerialization (save nothing) — for HD 512² crops
+      (SURVEY.md §7 hard part 6)."""
 
     def __init__(self, conf: Dict, remat: bool = False):
         g = conf["gen"]
         self.gen_state = conf["gen_state"]
         self.style_dim = g["style_dim"]
         self.remat = remat
+        self._pad_policy = jax.checkpoint_policies.save_any_names_but_these(
+            "conv_pad")
         kernel_init = winit.by_name(conf.get("init", "kaiming"))
         kwargs = dict(input_dim=conf["input_dim_a"], dim=g["dim"],
                       style_dim=g["style_dim"], n_downsample=g["n_downsample"],
@@ -100,6 +106,8 @@ class GenBundle:
             return self.module.apply({"params": p}, x, method="encode")
         if self.remat:
             run = jax.checkpoint(run)
+        else:
+            run = jax.checkpoint(run, policy=self._pad_policy)
         return run(params, x)
 
     def decode(self, params: Params, c: jax.Array, s: jax.Array, domain: int):
@@ -111,6 +119,8 @@ class GenBundle:
             return self.module.apply({"params": p}, c, s, method="decode")
         if self.remat:
             run = jax.checkpoint(run)
+        else:
+            run = jax.checkpoint(run, policy=self._pad_policy)
         return run(params, c, s)
 
 
