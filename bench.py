@@ -58,9 +58,10 @@ def main():
     if os.environ.get("BENCH_BF16", "1") == "1":
         # production numerics: bf16 MXU multiplies, f32 accumulate/norms
         ops.set_conv_compute(jnp.bfloat16, jax.lax.Precision.DEFAULT)
-    remat = os.environ.get("BENCH_REMAT") == "1"
+    remat_env = os.environ.get("BENCH_REMAT", "")
+    remat = {"1": True, "pads": "pads"}.get(remat_env, None)
     tr = MUNITTrainer(conf, jax.random.PRNGKey(0), dtype=jnp.float32,
-                      remat=remat or None)
+                      remat=remat)
     tr.load_segmenter(tr.seg_model_def.init(
         jax.random.PRNGKey(1), jnp.zeros((1, CROP, CROP, 3))))
 

@@ -61,15 +61,16 @@ def merge_class_matrix() -> np.ndarray:
 class GenBundle:
     """Uniform interface over gen_state 0 (two AdaINGen) and 1 (dual).
 
-    remat policy:
-    - default: encode/decode run under a jax.checkpoint whose policy saves
-      EVERYTHING except the ``conv_pad``-named padded conv inputs — those
-      copies dominate train-step HBM at larger batches (BENCH.md) and cost
-      only a re-pad to recompute;
-    - remat=True: full rematerialization (save nothing) — for HD 512² crops
+    remat ∈ {False, "pads", True} (measured tradeoffs in BENCH.md):
+    - False (default): no remat — fastest at batch 8 (53.5 img/s @ 256²);
+    - "pads": jax.checkpoint policy saving EVERYTHING except the
+      ``conv_pad``-named padded conv inputs — those copies dominate
+      train-step HBM at larger batches; recompute ≈ a pad. Lets batch 16 fit
+      in v5e HBM at ~the same throughput;
+    - True: full rematerialization (save nothing) — for HD 512² crops
       (SURVEY.md §7 hard part 6)."""
 
-    def __init__(self, conf: Dict, remat: bool = False):
+    def __init__(self, conf: Dict, remat=False):
         g = conf["gen"]
         self.gen_state = conf["gen_state"]
         self.style_dim = g["style_dim"]
@@ -104,9 +105,9 @@ class GenBundle:
                                          method="encode")
             p = params["a"] if domain == 1 else params["b"]
             return self.module.apply({"params": p}, x, method="encode")
-        if self.remat:
+        if self.remat is True:
             run = jax.checkpoint(run)
-        else:
+        elif self.remat == "pads":
             run = jax.checkpoint(run, policy=self._pad_policy)
         return run(params, x)
 
@@ -117,9 +118,9 @@ class GenBundle:
                                          method="decode")
             p = params["a"] if domain == 1 else params["b"]
             return self.module.apply({"params": p}, c, s, method="decode")
-        if self.remat:
+        if self.remat is True:
             run = jax.checkpoint(run)
-        else:
+        elif self.remat == "pads":
             run = jax.checkpoint(run, policy=self._pad_policy)
         return run(params, c, s)
 
