@@ -1,0 +1,80 @@
+"""Checkpoint conversion CLI: reference PyTorch ``.pt`` ⇄ munit_tpu orbax.
+
+  # import: .pt → orbax (full trainer state with fresh optimizers)
+  python -m munit_tpu.cli.checkpoint_tools import --config c.yaml \\
+      --gen gen_00370000.pt [--dis dis_00370000.pt] --out ckpt_dir --step 370000
+
+  # export: orbax → reference-loadable gen_*.pt
+  python -m munit_tpu.cli.checkpoint_tools export --config c.yaml \\
+      --ckpt ckpt_dir --out gen_exported.pt
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+
+def cmd_import(opts):
+    from munit_tpu.config import get_config
+    from munit_tpu.io import (load_torch_checkpoint, convert_gen_state_dict,
+                              convert_dis_state_dict)
+    from munit_tpu.io.checkpoint import save_checkpoint
+    from munit_tpu.train import MUNITTrainer
+
+    conf = get_config(opts.config)
+    tr = MUNITTrainer(conf, jax.random.PRNGKey(0))
+    blob = load_torch_checkpoint(opts.gen)
+    if conf["gen_state"] == 1:
+        tr.state["gen"] = jax.tree.map(
+            jnp.asarray, convert_gen_state_dict(blob["2"], conf["gen"], True))
+    else:
+        tr.state["gen"] = {
+            s: jax.tree.map(jnp.asarray,
+                            convert_gen_state_dict(blob[s], conf["gen"], False))
+            for s in ("a", "b")}
+    if opts.dis:
+        dblob = load_torch_checkpoint(opts.dis)
+        tr.state["dis_a"] = jax.tree.map(
+            jnp.asarray, convert_dis_state_dict(dblob["a"], conf["dis"]))
+        tr.state["dis_b"] = jax.tree.map(
+            jnp.asarray, convert_dis_state_dict(dblob["b"], conf["dis"]))
+    save_checkpoint(opts.out, tr.state, step=opts.step)
+    print(f"imported → {opts.out} @ step {opts.step}")
+
+
+def cmd_export(opts):
+    from munit_tpu.config import get_config
+    from munit_tpu.io.checkpoint import restore_checkpoint
+    from munit_tpu.io.torch_import import save_reference_checkpoint
+    from munit_tpu.train import MUNITTrainer
+
+    conf = get_config(opts.config)
+    tr = MUNITTrainer(conf, jax.random.PRNGKey(0))
+    state, step = restore_checkpoint(opts.ckpt, tr.state)
+    save_reference_checkpoint(opts.out, state["gen"], conf["gen"],
+                              gen_state=conf["gen_state"])
+    print(f"exported step {step} → {opts.out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+    i = sub.add_parser("import")
+    i.add_argument("--config", required=True)
+    i.add_argument("--gen", required=True)
+    i.add_argument("--dis", default=None)
+    i.add_argument("--out", required=True)
+    i.add_argument("--step", type=int, default=0)
+    e = sub.add_parser("export")
+    e.add_argument("--config", required=True)
+    e.add_argument("--ckpt", required=True)
+    e.add_argument("--out", required=True)
+    opts = p.parse_args(argv)
+    (cmd_import if opts.cmd == "import" else cmd_export)(opts)
+
+
+if __name__ == "__main__":
+    main()
