@@ -88,12 +88,22 @@ def _in_fwd_kernel(x_ref, g_ref, b_ref, o_ref, *, relu: bool, affine: bool):
     o_ref[0] = y.astype(o_ref.dtype)
 
 
+def _compiler_params(slab_bytes: int):
+    """Bound the kernel's VMEM so XLA can schedule it inside large graphs
+    (unbounded kernels OOM'd scoped VMEM next to conv buffers — BENCH.md)."""
+    if _interpret():
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(int(slab_bytes * 3.5) + (1 << 20), 14 << 20))
+
+
 def _run_in_fwd(x, gamma, beta, relu, affine):
     b = x.shape[0]
     c = x.shape[-1]
     kern = functools.partial(_in_fwd_kernel, relu=relu, affine=affine)
     g = gamma if affine else jnp.zeros((b, c), x.dtype)
     bta = beta if affine else jnp.zeros((b, c), x.dtype)
+    slab = int(np.prod(x.shape[1:])) * x.dtype.itemsize
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -108,6 +118,7 @@ def _run_in_fwd(x, gamma, beta, relu, affine):
         ],
         out_specs=pl.BlockSpec((1,) + x.shape[1:], lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=_compiler_params(slab),
         interpret=_interpret(),
     )(x, g, bta)
 

@@ -133,3 +133,14 @@ def test_inception_v3_shapes_and_converter():
 
     y = jax.eval_shape(lambda: inception_preprocess(jnp.zeros((2, 256, 256, 3))))
     assert y.shape == (2, 299, 299, 3)
+
+
+def test_kid_zero_for_same_distribution():
+    from munit_tpu.eval import kid
+    rng = np.random.RandomState(0)
+    base = rng.randn(400, 64).astype(np.float32)
+    mean_same, _ = kid(base[:200], base[200:], n_subsets=20, subset_size=100)
+    shifted = base[200:] + 2.0
+    mean_diff, _ = kid(base[:200], shifted, n_subsets=20, subset_size=100)
+    assert abs(mean_same) < 0.05
+    assert mean_diff > mean_same + 0.5
