@@ -79,11 +79,11 @@ def main(argv=None):
 
         @jax.jit
         def translate(x, styles):
+            # one batched decode over all styles (the reference loops per
+            # style at batch 1, test_batch.py:162-164)
             c, _ = gen.encode(params, x, enc_dom)
-            outs = []
-            for j in range(opts.num_style):
-                outs.append(gen.decode(params, c, styles[j:j + 1], dec_dom))
-            return jnp.concatenate(outs)
+            c_rep = jnp.repeat(c, opts.num_style, axis=0)
+            return gen.decode(params, c_rep, styles, dec_dom)
 
     inception_apply = None
     if opts.compute_IS or opts.compute_CIS:
