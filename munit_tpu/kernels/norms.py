@@ -46,6 +46,12 @@ _VMEM_BUDGET_BYTES = 2 * 1024 * 1024
 _EPS = 1e-5
 
 
+def _budget() -> int:
+    import os
+    mb = os.environ.get("MUNIT_PALLAS_VMEM_MB")
+    return int(mb) * 1024 * 1024 if mb else _VMEM_BUDGET_BYTES
+
+
 def pallas_available() -> bool:
     import os
     if os.environ.get("MUNIT_PALLAS", "1") != "1":
@@ -60,7 +66,7 @@ def pallas_available() -> bool:
 
 def _slab_fits(x) -> bool:
     h, w, c = x.shape[1:]
-    return h * w * c * 4 <= _VMEM_BUDGET_BYTES and c % 128 == 0 \
+    return h * w * c * 4 <= _budget() and c % 128 == 0 \
         and (h * w) % 8 == 0
 
 
