@@ -299,12 +299,21 @@ adain_ref.defvjp(
 
 
 def maybe_instance_norm(x, relu=False):
-    if pallas_available() and _slab_fits(x):
-        return instance_norm_fused(x, relu)
+    if pallas_available():
+        if _slab_fits(x):
+            return instance_norm_fused(x, relu)
+        from munit_tpu.kernels.tiled import (instance_norm_tiled,
+                                             tiled_applicable)
+        if tiled_applicable(x):
+            return instance_norm_tiled(x, relu)
     return instance_norm_ref(x, relu)
 
 
 def maybe_adain(x, gamma, beta, relu=False):
-    if pallas_available() and _slab_fits(x):
-        return adain_fused(x, gamma, beta, relu)
+    if pallas_available():
+        if _slab_fits(x):
+            return adain_fused(x, gamma, beta, relu)
+        from munit_tpu.kernels.tiled import adain_tiled, tiled_applicable
+        if tiled_applicable(x):
+            return adain_tiled(x, gamma, beta, relu)
     return adain_ref(x, gamma, beta, relu)
