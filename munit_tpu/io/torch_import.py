@@ -224,6 +224,18 @@ def export_gen_state_dict(params: dict, gen_conf: dict,
     return sd
 
 
+def export_dis_state_dict(params: dict, dis_conf: dict) -> StateDict:
+    """MsImageDis flax params → reference cnns.{s}.{i} state_dict."""
+    sd: StateDict = {}
+    for s in range(dis_conf["num_scales"]):
+        cnn = params[f"cnn_{s}"]
+        for i in range(dis_conf["n_layer"]):
+            _x_conv(cnn[f"layer_{i}"], f"cnns.{s}.{i}", sd)
+        _x_conv(cnn["out_conv"], f"cnns.{s}.{dis_conf['n_layer']}", sd,
+                bare=True)
+    return sd
+
+
 def save_reference_checkpoint(path: str, gen_params, gen_conf: dict,
                               gen_state: int = 1):
     """Write a reference-loadable gen_*.pt (trainer.py:1402-1407 layout)."""

@@ -75,3 +75,25 @@ def test_torch_mirror_loads_exported_state_dict(tmp_path):
     np.testing.assert_allclose(np.asarray(yj),
                                np.transpose(yt.numpy(), (0, 2, 3, 1)),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_dis_export_import_roundtrip():
+    from munit_tpu.io.torch_import import export_dis_state_dict
+    from munit_tpu.io import convert_dis_state_dict
+    from munit_tpu.nn import MsImageDis
+
+    p = tm.small_dis_params()
+    jdis = MsImageDis(input_dim=3, n_layer=p["n_layer"], dim=p["dim"],
+                      norm=p["norm"], activ=p["activ"],
+                      num_scales=p["num_scales"], pad_type=p["pad_type"])
+    params = jdis.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    sd = export_dis_state_dict(params, p)
+    back = jax.tree.map(jnp.asarray, convert_dis_state_dict(sd, p))
+    for a, b in zip(jax.tree_util.tree_leaves_with_path(params),
+                    jax.tree_util.tree_leaves_with_path(back)):
+        np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                                   atol=1e-7, err_msg=str(a[0]))
+    # mirror strict-load check
+    tdis = tm.MirrorMsImageDis(3, p)
+    tdis.load_state_dict({k: torch.from_numpy(np.asarray(v).copy())
+                          for k, v in sd.items()})
