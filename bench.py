@@ -66,7 +66,9 @@ def main():
         jax.random.PRNGKey(1), jnp.zeros((1, CROP, CROP, 3))))
 
     rng = np.random.RandomState(0)
-    act_dtype = jnp.bfloat16 if os.environ.get("BENCH_ACT_BF16") == "1" \
+    # bf16 activations by default (production numerics; measured fastest —
+    # BENCH.md). BENCH_ACT_BF16=0 for the f32-activation variant.
+    act_dtype = jnp.bfloat16 if os.environ.get("BENCH_ACT_BF16", "1") == "1" \
         else jnp.float32
     x_a = jnp.asarray(rng.randn(BATCH, CROP, CROP, 3), act_dtype)
     x_b = jnp.asarray(rng.randn(BATCH, CROP, CROP, 3), act_dtype)
