@@ -184,3 +184,19 @@ def test_loss_decreases_on_fixed_batch():
         first = v if first is None else first
         last = v
     assert last < first
+
+
+def test_sample_with_seg_overlays():
+    conf = tiny_conf(semantic_w=3.0)
+    tr = MUNITTrainer(conf, jax.random.PRNGKey(10))
+    tr.load_segmenter(tr.seg_model_def.init(
+        jax.random.PRNGKey(11), jnp.zeros((1, CROP, CROP, 3))))
+    rng = np.random.RandomState(10)
+    x_a, x_b, _ = batch(rng)
+    out = tr.sample(x_a, x_b)
+    # 12-column layout (trainer.py:911-928): overlays at indices 2,4,8,10
+    assert len(out) == 12
+    for idx in (2, 4, 8, 10):
+        overlay = np.asarray(out[idx])
+        assert overlay.shape == x_a.shape
+        assert overlay.min() >= 0.0 and overlay.max() <= 1.0
