@@ -65,3 +65,32 @@ def test_resume_reproduces_uninterrupted_run(tmp_path):
                     jax.tree_util.tree_leaves_with_path(tr_b.state)):
         np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]),
                                       err_msg=str(a[0]))
+
+
+def test_resume_mid_extrapolation(tmp_path):
+    """Checkpoint taken right after an EXTRAPOLATION half-step (even
+    iteration): the anchor snapshot must survive the roundtrip so the
+    following step() updates from the pre-extrapolation point — the reference
+    loses params_copy on resume (SURVEY.md §5.4)."""
+    data = batches(4)
+
+    tr_full = MUNITTrainer(conf(), jax.random.PRNGKey(3))
+    run(tr_full, data, 0, 3)  # iterations 0,1,2 — ends after extrapolation
+
+    tr_a = MUNITTrainer(conf(), jax.random.PRNGKey(3))
+    run(tr_a, data, 0, 3)
+    assert bool(tr_a.state["dis_opt"].has_copy)  # mid-extrapolation
+    ckpt = str(tmp_path / "ck2")
+    save_checkpoint(ckpt, tr_a.state, step=3)
+
+    tr_b = MUNITTrainer(conf(), jax.random.PRNGKey(77))
+    state, _ = restore_checkpoint(ckpt, tr_b.state)
+    tr_b.state = state
+    assert bool(tr_b.state["dis_opt"].has_copy)
+
+    run(tr_full, data, 3, 4)  # iteration 3 = step() from the anchor
+    run(tr_b, data, 3, 4)
+    for a, b in zip(jax.tree_util.tree_leaves_with_path(tr_full.state),
+                    jax.tree_util.tree_leaves_with_path(tr_b.state)):
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]),
+                                      err_msg=str(a[0]))
