@@ -1,8 +1,11 @@
 """Learning-rate schedules.
 
-The reference uses torch StepLR stepped once per training iteration
-(utils.py:1035-1060; train.py:172): lr(it) = lr0 * gamma^(it // step_size).
-``lr_policy: constant`` → no decay.
+The reference uses torch StepLR stepped once at the START of every training
+iteration (utils.py:1035-1060; train.py:172), so during 0-based iteration
+``it`` the scheduler has been stepped ``it+1`` times and the lr in effect is
+lr(it) = lr0 * gamma^((it + 1) // step_size) — torch-pinned in
+tests/test_optim.py::test_step_lr_matches_torch_steplr, including the decay
+boundaries. ``lr_policy: constant`` → no decay.
 """
 
 from __future__ import annotations
@@ -10,7 +13,7 @@ from __future__ import annotations
 
 def step_lr(lr0: float, step_size: int, gamma: float):
     def schedule(iteration: int) -> float:
-        return lr0 * (gamma ** (iteration // step_size))
+        return lr0 * (gamma ** ((iteration + 1) // step_size))
     return schedule
 
 

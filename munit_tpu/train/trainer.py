@@ -631,8 +631,12 @@ class MUNITTrainer:
         return jnp.asarray(self.lr_schedule(self.iterations), jnp.float32)
 
     def dis_update(self, x_a, x_b):
+        lr = self._lr()
         self.state, metrics = self._dis_step(self.state, x_a, x_b,
-                                             self._lr(), self._phase())
+                                             lr, self._phase())
+        # Observability addition over the reference (which never logs lr):
+        # the effective StepLR value in effect for this iteration.
+        metrics = dict(metrics, lr=lr)
         return metrics
 
     def gen_update(self, x_a, x_b, mask_a=None, mask_b=None, synth=False,
@@ -747,4 +751,5 @@ class MUNITTrainer:
         ``self.iterations``, which the training loop sets to the 0-based
         iteration index (train.py:157,327-328 semantics — during iteration
         ``it``, ``trainer.iterations == it``; StepLR stepped it+1 times gives
-        lr0 * gamma^(it // step_size))."""
+        lr0 * gamma^((it + 1) // step_size), torch-pinned in
+        tests/test_optim.py)."""

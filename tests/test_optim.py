@@ -122,8 +122,25 @@ def test_consecutive_extrapolations_keep_first_anchor():
 
 
 def test_step_lr_schedule():
+    # Reference semantics: StepLR stepped at the START of every iteration, so
+    # during iteration `it` it has been stepped it+1 times (train.py:172).
     sched = step_lr(1e-4, 100000, 0.5)
     assert sched(0) == 1e-4
-    assert sched(99999) == 1e-4
+    assert sched(99998) == 1e-4
+    assert sched(99999) == 5e-5   # decay boundary: (99999+1)//100000 == 1
     assert sched(100000) == 5e-5
-    assert sched(250000) == 2.5e-5
+    assert sched(249999) == 2.5e-5
+
+
+def test_step_lr_matches_torch_steplr():
+    """Pin equality against real torch StepLR at every iteration incl. decay
+    boundaries (reference train.py:172 steps the scheduler at iteration start).
+    """
+    lr0, step_size, gamma = 1e-4, 3, 0.5
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=lr0)
+    sch = torch.optim.lr_scheduler.StepLR(opt, step_size=step_size, gamma=gamma)
+    sched = step_lr(lr0, step_size, gamma)
+    for it in range(20):
+        sch.step()  # update_learning_rate() at the start of iteration `it`
+        assert abs(sched(it) - opt.param_groups[0]["lr"]) < 1e-15, it
