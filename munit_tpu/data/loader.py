@@ -64,34 +64,68 @@ class DataLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         return self._iterate(single_epoch=False)
 
+    def _in_flight_window(self) -> int:
+        """Max decode futures submitted but not yet consumed. Bounds worker
+        RAM to O(window + prefetch·batch) decoded samples — the reference's
+        torch DataLoader bounds the same way via its index queue
+        (2·num_workers prefetched batches); the r1 design submitted WHOLE
+        epochs up front, accumulating an epoch of decoded crops in RAM."""
+        return max(2 * self.batch_size, 2 * self.num_workers)
+
     def _iterate(self, single_epoch: bool):
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        def producer():
-            from concurrent.futures import ThreadPoolExecutor
+        def index_stream():
             epoch = 0
+            while True:
+                idx = self._epoch_indices(epoch)
+                usable = (len(idx) // self.batch_size) * self.batch_size
+                for i in idx[:usable]:
+                    yield epoch, i
+                epoch += 1
+                if single_epoch:
+                    return
+
+        def put_blocking(item) -> bool:
+            """Backpressure put that still honors stop (no leaked thread
+            blocked on a full queue after the consumer goes away)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def producer():
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+            window = self._in_flight_window()
+            stream = index_stream()
+            exhausted = False
             with ThreadPoolExecutor(self.num_workers) as pool:
+                in_flight: "deque" = deque()
                 while not stop.is_set():
-                    idx = self._epoch_indices(epoch)
-                    usable = (len(idx) // self.batch_size) * self.batch_size
-                    futures = [pool.submit(self._load, epoch, i)
-                               for i in idx[:usable]]
-                    for s in range(0, usable, self.batch_size):
-                        if stop.is_set():
-                            return
-                        samples = [f.result()
-                                   for f in futures[s:s + self.batch_size]]
-                        batch = {k: np.stack([smp[k] for smp in samples])
-                                 for k in samples[0]
-                                 if not isinstance(samples[0][k], str)}
-                        for k in samples[0]:
-                            if isinstance(samples[0][k], str):
-                                batch[k] = [smp[k] for smp in samples]
-                        out_q.put(batch)
-                    epoch += 1
-                    if single_epoch:
-                        out_q.put(None)
+                    while not exhausted and len(in_flight) < window:
+                        try:
+                            ep, i = next(stream)
+                        except StopIteration:
+                            exhausted = True
+                            break
+                        in_flight.append(pool.submit(self._load, ep, i))
+                    if len(in_flight) < self.batch_size:
+                        put_blocking(None)
+                        return
+                    samples = [in_flight.popleft().result()
+                               for _ in range(self.batch_size)]
+                    batch = {k: np.stack([smp[k] for smp in samples])
+                             for k in samples[0]
+                             if not isinstance(samples[0][k], str)}
+                    for k in samples[0]:
+                        if isinstance(samples[0][k], str):
+                            batch[k] = [smp[k] for smp in samples]
+                    if not put_blocking(batch):
                         return
 
         t = threading.Thread(target=producer, daemon=True)
