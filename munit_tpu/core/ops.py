@@ -85,7 +85,7 @@ def set_conv_compute(dtype=None, precision=lax.Precision.HIGHEST):
 
 
 def conv2d(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None,
-           stride: int = 1, precision=None) -> jax.Array:
+           stride: int = 1, precision=None, dilation: int = 1) -> jax.Array:
     """VALID conv over an already-padded NHWC input. kernel is HWIO."""
     out_dtype = x.dtype
     if _CONV_DTYPE is not None:
@@ -98,6 +98,7 @@ def conv2d(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None,
         x, kernel,
         window_strides=(stride, stride),
         padding="VALID",
+        rhs_dilation=(dilation, dilation),
         dimension_numbers=_DIMS,
         precision=precision if precision is not None else _CONV_PRECISION,
     )

@@ -34,13 +34,12 @@ def _dilated_padding(dilation: int) -> int:
 
 
 def _conv(x, kernel, stride=1, dilation=1, padding=0):
+    """Respects the global conv numerics knobs (ops.set_conv_compute): the
+    segmenter runs 4× per gen step, so bf16-MXU mode matters as much here as
+    in the generator (r1 hardcoded HIGHEST → f32 multi-pass convs ≈ 20% MFU)."""
     if padding:
         x = ops.pad2d(x, padding, "zero")
-    return jax.lax.conv_general_dilated(
-        x, kernel, (stride, stride), "VALID",
-        rhs_dilation=(dilation, dilation),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=jax.lax.Precision.HIGHEST)
+    return ops.conv2d(x, kernel, stride=stride, dilation=dilation)
 
 
 class _FrozenBN(nn.Module):

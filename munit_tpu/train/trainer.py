@@ -86,6 +86,89 @@ class GenBundle:
             self.module = AdaINGenDual(**kwargs)
         else:
             self.module = AdaINGen(**kwargs)
+        # Standalone submodule defs for the wide (batched) train-step path:
+        # identical hyperparams and param names, so the AdaINGenDual param
+        # subtrees apply directly.
+        from munit_tpu.nn.generator import (ContentEncoder, Decoder,
+                                            StyleEncoder)
+        from munit_tpu.nn.blocks import MLP
+        content_dim = g["dim"] * (2 ** g["n_downsample"])
+        self._style_def = StyleEncoder(4, g["dim"], g["style_dim"],
+                                       g["activ"], g["pad_type"], kernel_init)
+        self._content_def = ContentEncoder(
+            g["n_downsample"], g["n_res"], g["dim"], "in", g["activ"],
+            g["pad_type"], kernel_init)
+        self._dec_def = Decoder(
+            g["n_downsample"], g["n_res"], content_dim, conf["input_dim_a"],
+            "adain", g["activ"], g["pad_type"], kernel_init)
+        self._mlp_def = MLP(self._dec_def.num_adain_params, g["mlp_dim"], 3,
+                            g["activ"], kernel_init)
+
+    # ------------------------------------------------------- wide fast path
+    #
+    # The train steps issue MANY short conv→norm chains (4 encodes, 6
+    # decodes, 4 dis applies, 4 segmenter passes per gen step). The TPU is
+    # latency-bound on those chains, not FLOP-bound (BENCH.md r1: 25% MFU,
+    # insensitive to batch and activation dtype). The wide path batches every
+    # same-weight pair into one call (fake+real per dis, both domains through
+    # the shared style encoder / frozen segmenter, per-domain decode pairs)
+    # and optionally stacks the two domain branches with vmap (grouped
+    # convs), halving chain count again. Identical math per sample — only
+    # the batch dimension of each kernel launch changes.
+
+    def _maybe_remat(self, run):
+        if self.remat is True:
+            return jax.checkpoint(run)
+        if self.remat == "pads":
+            return jax.checkpoint(run, policy=self._pad_policy)
+        return run
+
+    def style_encode(self, params: Params, x: jax.Array) -> jax.Array:
+        """Shared style encoder on an arbitrary batch (gen_state=1 only)."""
+        run = self._maybe_remat(
+            lambda p, x: self._style_def.apply({"params": p}, x))
+        return run(params["enc_style"], x)
+
+    def content_encode_pair(self, params: Params, x1: jax.Array,
+                            x2: jax.Array, stacked: bool):
+        """(enc1(x1), enc2(x2)); stacked=True runs both branches as ONE
+        vmapped (grouped-conv) chain."""
+        if stacked:
+            def run(p1, p2, xs):
+                ps = jax.tree.map(lambda a, b: jnp.stack([a, b]), p1, p2)
+                return jax.vmap(lambda p, x: self._content_def.apply(
+                    {"params": p}, x))(ps, xs)
+            c = self._maybe_remat(run)(params["enc1_content"],
+                                       params["enc2_content"],
+                                       jnp.stack([x1, x2]))
+            return c[0], c[1]
+        run = self._maybe_remat(
+            lambda p, x: self._content_def.apply({"params": p}, x))
+        return run(params["enc1_content"], x1), run(params["enc2_content"], x2)
+
+    def decode_domain(self, params: Params, domain: int, c: jax.Array,
+                      s: jax.Array) -> jax.Array:
+        """One domain's decoder on an arbitrary batch of (content, style)."""
+        d = "1" if domain == 1 else "2"
+
+        def run(pd, pm, c, s):
+            return self._dec_def.apply(
+                {"params": pd}, c, self._mlp_def.apply({"params": pm}, s))
+        return self._maybe_remat(run)(params[f"dec{d}"], params[f"mlp{d}"],
+                                      c, s)
+
+    def decode_pair_stacked(self, params: Params, c1, s1, c2, s2):
+        """dec1(c1, s1) and dec2(c2, s2) as ONE vmapped chain (equal batch)."""
+        def run(p1, p2, cs, ss):
+            ps = jax.tree.map(lambda a, b: jnp.stack([a, b]), p1, p2)
+            return jax.vmap(lambda p, c, s: self._dec_def.apply(
+                {"params": p["dec"]}, c,
+                self._mlp_def.apply({"params": p["mlp"]}, s)))(ps, cs, ss)
+        out = self._maybe_remat(run)(
+            {"dec": params["dec1"], "mlp": params["mlp1"]},
+            {"dec": params["dec2"], "mlp": params["mlp2"]},
+            jnp.stack([c1, c2]), jnp.stack([s1, s2]))
+        return out[0], out[1]
 
     def init(self, rng: jax.Array, sample: jax.Array) -> Params:
         if self.gen_state == 1:
@@ -151,6 +234,17 @@ class MUNITTrainer:
         self.train_seg = ad["sem_seg_lambda"] > 0
         self.lr_schedule = schedule_from_config(conf)
         self.iterations = 0
+        # Wide (batched) step forwards: 0 = one call per reference forward,
+        # 1 = batch every same-weight pair (fake+real per dis, both domains
+        # through shared style enc / frozen segmenter, per-domain decode
+        # pairs), 2 = additionally stack the two domain branches with vmap
+        # (grouped convs). Identical per-sample math; fewer, wider kernel
+        # launches (the r1 bottleneck was chain count — BENCH.md).
+        import os as _os
+        self.wide = int(_os.environ.get(
+            "MUNIT_WIDE", str(conf.get("wide", 1))))
+        if conf["gen_state"] != 1:
+            self.wide = 0
 
         self.gen = GenBundle(conf, remat=remat)
         d = conf["dis"]
@@ -246,6 +340,22 @@ class MUNITTrainer:
     def _cross_decode(self, gen_params, x_a, x_b, s_a, s_b):
         """Shared encode + cross-decode used by both dis and gen steps
         (trainer.py:1148-1175). Returns codes and cross images."""
+        if self.wide >= 1:
+            bsz = x_a.shape[0]
+            s = self.gen.style_encode(gen_params,
+                                      jnp.concatenate([x_a, x_b]))
+            s_a_p, s_b_p = s[:bsz], s[bsz:]
+            c_a, c_b = self.gen.content_encode_pair(gen_params, x_a, x_b,
+                                                    self.wide >= 2)
+            sa_use = s_a_p if self.guided == 1 else s_a
+            sb_use = s_b_p if self.guided == 1 else s_b
+            if self.wide >= 2:
+                x_ba, x_ab = self.gen.decode_pair_stacked(
+                    gen_params, c_b, sa_use, c_a, sb_use)
+            else:
+                x_ba = self.gen.decode_domain(gen_params, 1, c_b, sa_use)
+                x_ab = self.gen.decode_domain(gen_params, 2, c_a, sb_use)
+            return c_a, s_a_p, c_b, s_b_p, x_ba, x_ab
         c_a, s_a_p = self.gen.encode(gen_params, x_a, 1)
         c_b, s_b_p = self.gen.encode(gen_params, x_b, 2)
         if self.guided == 1:
@@ -256,8 +366,92 @@ class MUNITTrainer:
             x_ab = self.gen.decode(gen_params, c_a, s_b, 2)
         return c_a, s_a_p, c_b, s_b_p, x_ba, x_ab
 
+    def _gen_forward(self, gen_params, x_a, x_b, s_a, s_b, use_cyc: bool):
+        """The gen-step generator forward (trainer.py:366-430): within-domain
+        recon, cross decode, re-encode, cycle decode. Returns a dict of all
+        intermediate tensors. Wide path batches same-weight calls."""
+        g = {}
+        if self.wide >= 1:
+            bsz = x_a.shape[0]
+            s = self.gen.style_encode(gen_params,
+                                      jnp.concatenate([x_a, x_b]))
+            s_a_p, s_b_p = s[:bsz], s[bsz:]
+            c_a, c_b = self.gen.content_encode_pair(gen_params, x_a, x_b,
+                                                    self.wide >= 2)
+            sa_use = s_a_p if self.guided == 1 else s_a
+            sb_use = s_b_p if self.guided == 1 else s_b
+            # wave-1 decodes: [recon | cross] per domain, one call each
+            c1 = jnp.concatenate([c_a, c_b])
+            s1 = jnp.concatenate([s_a_p, sa_use])
+            c2 = jnp.concatenate([c_b, c_a])
+            s2 = jnp.concatenate([s_b_p, sb_use])
+            if self.wide >= 2:
+                out1, out2 = self.gen.decode_pair_stacked(gen_params,
+                                                          c1, s1, c2, s2)
+            else:
+                out1 = self.gen.decode_domain(gen_params, 1, c1, s1)
+                out2 = self.gen.decode_domain(gen_params, 2, c2, s2)
+            x_a_recon, x_ba = out1[:bsz], out1[bsz:]
+            x_b_recon, x_ab = out2[:bsz], out2[bsz:]
+            # wave-2 encodes of the fakes
+            s_r = self.gen.style_encode(gen_params,
+                                        jnp.concatenate([x_ba, x_ab]))
+            s_a_recon, s_b_recon = s_r[:bsz], s_r[bsz:]
+            c_b_recon, c_a_recon = self.gen.content_encode_pair(
+                gen_params, x_ba, x_ab, self.wide >= 2)
+            x_aba = x_bab = None
+            if use_cyc:
+                if self.wide >= 2:
+                    x_aba, x_bab = self.gen.decode_pair_stacked(
+                        gen_params, c_a_recon, s_a_p, c_b_recon, s_b_p)
+                else:
+                    x_aba = self.gen.decode_domain(gen_params, 1,
+                                                   c_a_recon, s_a_p)
+                    x_bab = self.gen.decode_domain(gen_params, 2,
+                                                   c_b_recon, s_b_p)
+        else:
+            gen = self.gen
+            c_a, s_a_p = gen.encode(gen_params, x_a, 1)
+            c_b, s_b_p = gen.encode(gen_params, x_b, 2)
+            x_a_recon = gen.decode(gen_params, c_a, s_a_p, 1)
+            x_b_recon = gen.decode(gen_params, c_b, s_b_p, 2)
+            if self.guided == 1:
+                x_ba = gen.decode(gen_params, c_b, s_a_p, 1)
+                x_ab = gen.decode(gen_params, c_a, s_b_p, 2)
+            else:
+                x_ba = gen.decode(gen_params, c_b, s_a, 1)
+                x_ab = gen.decode(gen_params, c_a, s_b, 2)
+            c_b_recon, s_a_recon = gen.encode(gen_params, x_ba, 1)
+            c_a_recon, s_b_recon = gen.encode(gen_params, x_ab, 2)
+            x_aba = x_bab = None
+            if use_cyc:
+                x_aba = gen.decode(gen_params, c_a_recon, s_a_p, 1)
+                x_bab = gen.decode(gen_params, c_b_recon, s_b_p, 2)
+        g.update(c_a=c_a, c_b=c_b, s_a_p=s_a_p, s_b_p=s_b_p,
+                 x_a_recon=x_a_recon, x_b_recon=x_b_recon, x_ba=x_ba,
+                 x_ab=x_ab, c_a_recon=c_a_recon, c_b_recon=c_b_recon,
+                 s_a_recon=s_a_recon, s_b_recon=s_b_recon, x_aba=x_aba,
+                 x_bab=x_bab)
+        return g
+
     def _dis_apply(self, params, x):
         return self.dis.apply({"params": params}, x)
+
+    def _dis_apply_fr(self, params, x_fake, x_real):
+        """One dis apply over concat(fake, real) → (outs_fake, outs_real)
+        per scale. Same math as two applies; one chain of kernel launches."""
+        bsz = x_fake.shape[0]
+        outs = self.dis.apply({"params": params},
+                              jnp.concatenate([x_fake, x_real]))
+        return [o[:bsz] for o in outs], [o[bsz:] for o in outs]
+
+    def _dis_apply_stacked(self, pa, pb, xa, xb):
+        """dis_a(xa) and dis_b(xb) as one vmapped (grouped-conv) chain."""
+        ps = jax.tree.map(lambda a, b: jnp.stack([a, b]), pa, pb)
+        outs = jax.vmap(
+            lambda p, x: tuple(self.dis.apply({"params": p}, x)))(
+                ps, jnp.stack([xa, xb]))
+        return [o[0] for o in outs], [o[1] for o in outs]
 
     def _dann_apply(self, params, stats, c, train=True):
         out, updates = self.dann_def.apply(
@@ -317,12 +511,29 @@ class MUNITTrainer:
         x_ab = jax.lax.stop_gradient(x_ab)
 
         def loss_fn(dis_params):
-            la = losses.dis_gan_loss(self._dis_apply(dis_params["a"], x_ba),
-                                     self._dis_apply(dis_params["a"], x_a),
-                                     self.gan_type)
-            lb = losses.dis_gan_loss(self._dis_apply(dis_params["b"], x_ab),
-                                     self._dis_apply(dis_params["b"], x_b),
-                                     self.gan_type)
+            if self.wide >= 2:
+                outs_a, outs_b = self._dis_apply_stacked(
+                    dis_params["a"], dis_params["b"],
+                    jnp.concatenate([x_ba, x_a]),
+                    jnp.concatenate([x_ab, x_b]))
+                la = losses.dis_gan_loss([o[:bsz] for o in outs_a],
+                                         [o[bsz:] for o in outs_a],
+                                         self.gan_type)
+                lb = losses.dis_gan_loss([o[:bsz] for o in outs_b],
+                                         [o[bsz:] for o in outs_b],
+                                         self.gan_type)
+            elif self.wide == 1:
+                fa, ra = self._dis_apply_fr(dis_params["a"], x_ba, x_a)
+                fb, rb = self._dis_apply_fr(dis_params["b"], x_ab, x_b)
+                la = losses.dis_gan_loss(fa, ra, self.gan_type)
+                lb = losses.dis_gan_loss(fb, rb, self.gan_type)
+            else:
+                la = losses.dis_gan_loss(
+                    self._dis_apply(dis_params["a"], x_ba),
+                    self._dis_apply(dis_params["a"], x_a), self.gan_type)
+                lb = losses.dis_gan_loss(
+                    self._dis_apply(dis_params["b"], x_ab),
+                    self._dis_apply(dis_params["b"], x_b), self.gan_type)
             total = self.hw["gan_w"] * (la + lb)
             return total, {"loss_dis_a": la, "loss_dis_b": lb,
                            "loss_dis_total": total}
@@ -345,14 +556,17 @@ class MUNITTrainer:
         in the gen step vs the reference's inline computation."""
         if has_sem_gt:
             return sem_gt_a.astype(jnp.int32), sem_gt_b.astype(jnp.int32)
-        t_a = jnp.argmax(self._segment(x_a), axis=-1)
-        t_b = jnp.argmax(self._segment(x_b), axis=-1)
+        if self.wide >= 1:
+            bsz = x_a.shape[0]
+            t = jnp.argmax(self._segment(jnp.concatenate([x_a, x_b])),
+                           axis=-1)
+            t_a, t_b = t[:bsz], t[bsz:]
+        else:
+            t_a = jnp.argmax(self._segment(x_a), axis=-1)
+            t_b = jnp.argmax(self._segment(x_b), axis=-1)
         return jax.lax.stop_gradient(t_a), jax.lax.stop_gradient(t_b)
 
-    def _semantic_loss(self, img_tr, target, mask, has_sem_gt):
-        """compute_semantic_seg_loss (trainer.py:706-771). NHWC logits;
-        gradient flows through the translated image only."""
-        logits = self._segment(img_tr)
+    def _sem_loss_from_logits(self, logits, target, mask, has_sem_gt):
         if has_sem_gt:
             logits = jnp.einsum("bhwc,cd->bhwd", logits, self.merge_m)
             n_cls = 10
@@ -362,6 +576,24 @@ class MUNITTrainer:
             m = ops.resize_nearest(mask, (self.crop, self.crop))[..., 0]
             return losses.semantic_seg_loss_masked(logits, target, m, n_cls)
         return losses.cross_entropy_loss(logits, target)
+
+    def _semantic_loss(self, img_tr, target, mask, has_sem_gt):
+        """compute_semantic_seg_loss (trainer.py:706-771). NHWC logits;
+        gradient flows through the translated image only."""
+        return self._sem_loss_from_logits(self._segment(img_tr), target,
+                                          mask, has_sem_gt)
+
+    def _semantic_loss_pair(self, img1, t1, m1, img2, t2, m2, has_sem_gt):
+        """Both translated images through ONE frozen-segmenter pass."""
+        if self.wide >= 1:
+            bsz = img1.shape[0]
+            logits = self._segment(jnp.concatenate([img1, img2]))
+            return (self._sem_loss_from_logits(logits[:bsz], t1, m1,
+                                               has_sem_gt)
+                    + self._sem_loss_from_logits(logits[bsz:], t2, m2,
+                                                 has_sem_gt))
+        return (self._semantic_loss(img1, t1, m1, has_sem_gt)
+                + self._semantic_loss(img2, t2, m2, has_sem_gt))
 
     def _gen_step_impl(self, state, x_a, x_b, mask_a, mask_b, sem_gt_a,
                        sem_gt_b, lr, extrapolate, synth: bool,
@@ -378,19 +610,13 @@ class MUNITTrainer:
                 x_a, x_b, sem_gt_a, sem_gt_b, has_sem_gt)
 
         def loss_fn(gen_params):
-            gen = self.gen
-            c_a, s_a_p = gen.encode(gen_params, x_a, 1)
-            c_b, s_b_p = gen.encode(gen_params, x_b, 2)
-            x_a_recon = gen.decode(gen_params, c_a, s_a_p, 1)
-            x_b_recon = gen.decode(gen_params, c_b, s_b_p, 2)
-            if self.guided == 1:
-                x_ba = gen.decode(gen_params, c_b, s_a_p, 1)
-                x_ab = gen.decode(gen_params, c_a, s_b_p, 2)
-            else:
-                x_ba = gen.decode(gen_params, c_b, s_a, 1)
-                x_ab = gen.decode(gen_params, c_a, s_b, 2)
-            c_b_recon, s_a_recon = gen.encode(gen_params, x_ba, 1)
-            c_a_recon, s_b_recon = gen.encode(gen_params, x_ab, 2)
+            fw = self._gen_forward(gen_params, x_a, x_b, s_a, s_b, use_cyc)
+            c_a, c_b = fw["c_a"], fw["c_b"]
+            s_a_p, s_b_p = fw["s_a_p"], fw["s_b_p"]
+            x_a_recon, x_b_recon = fw["x_a_recon"], fw["x_b_recon"]
+            x_ba, x_ab = fw["x_ba"], fw["x_ab"]
+            c_a_recon, c_b_recon = fw["c_a_recon"], fw["c_b_recon"]
+            s_a_recon, s_b_recon = fw["s_a_recon"], fw["s_b_recon"]
 
             m = {}
             m["loss_gen_recon_x_a"] = losses.recon_l1(x_a_recon, x_a)
@@ -405,8 +631,7 @@ class MUNITTrainer:
             m["loss_gen_recon_c_b"] = losses.recon_l1(c_b_recon, c_b)
 
             if use_cyc:
-                x_aba = gen.decode(gen_params, c_a_recon, s_a_p, 1)
-                x_bab = gen.decode(gen_params, c_b_recon, s_b_p, 2)
+                x_aba, x_bab = fw["x_aba"], fw["x_bab"]
                 if self.recon_mask:
                     m["loss_gen_cycrecon_x_a"] = losses.recon_l1_masked(
                         x_aba, x_a, mask_a)
@@ -430,10 +655,18 @@ class MUNITTrainer:
             else:
                 m["loss_gen_recon_synth"] = jnp.zeros(())
 
-            m["loss_gen_adv_a"] = losses.gen_gan_loss(
-                self._dis_apply(state["dis_a"], x_ba), self.gan_type)
-            m["loss_gen_adv_b"] = losses.gen_gan_loss(
-                self._dis_apply(state["dis_b"], x_ab), self.gan_type)
+            if self.wide >= 2:
+                outs_ba, outs_ab = self._dis_apply_stacked(
+                    state["dis_a"], state["dis_b"], x_ba, x_ab)
+                m["loss_gen_adv_a"] = losses.gen_gan_loss(outs_ba,
+                                                          self.gan_type)
+                m["loss_gen_adv_b"] = losses.gen_gan_loss(outs_ab,
+                                                          self.gan_type)
+            else:
+                m["loss_gen_adv_a"] = losses.gen_gan_loss(
+                    self._dis_apply(state["dis_a"], x_ba), self.gan_type)
+                m["loss_gen_adv_b"] = losses.gen_gan_loss(
+                    self._dis_apply(state["dis_b"], x_ab), self.gan_type)
 
             if hw["vgg_w"] > 0:
                 from munit_tpu.nn.vgg import Vgg16, vgg_preprocess
@@ -449,9 +682,9 @@ class MUNITTrainer:
                 m["loss_gen_vgg_b"] = jnp.zeros(())
 
             if self.semantic_w:
-                m["loss_sem_seg"] = (
-                    self._semantic_loss(x_ab, sem_tgt_a, mask_a, has_sem_gt)
-                    + self._semantic_loss(x_ba, sem_tgt_b, mask_b, has_sem_gt))
+                m["loss_sem_seg"] = self._semantic_loss_pair(
+                    x_ab, sem_tgt_a, mask_a, x_ba, sem_tgt_b, mask_b,
+                    has_sem_gt)
             else:
                 m["loss_sem_seg"] = jnp.zeros(())
 
