@@ -109,8 +109,117 @@ def conv2d(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None,
 
 
 # ---------------------------------------------------------------------------
+# Space-to-depth convolution (small-channel conv rescue)
+# ---------------------------------------------------------------------------
+#
+# A 7x7 conv with 3 input or output channels runs at 1.7-6 TF/s on the MXU
+# (measured, tools/convbench.py): N or K is far below the 128-lane width, so
+# >95% of the systolic array is padding. Reformulating the conv on an f x f
+# space-to-depth grid multiplies the channel dims by f² at the cost of
+# phase-sparsity zeros in the rearranged kernel (waste (ceil((k-1+f)/f)·f/k)²
+# ≈ 2.9x for k=7, f=4) — a large net win for these layers. The transform is
+# EXACT (max |Δ| ~1e-6, tests/test_core_ops.py) and built from the canonical
+# [k,k,c,n] kernel at trace time, so autodiff and checkpoints see the
+# standard parametrization.
+
+
+def space_to_depth(x: jax.Array, f: int) -> jax.Array:
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // f, f, w // f, f, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // f, w // f,
+                                                 f * f * c)
+
+
+def depth_to_space(x: jax.Array, f: int) -> jax.Array:
+    b, h, w, c = x.shape
+    n = c // (f * f)
+    x = x.reshape(b, h, w, f, f, n)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * f, w * f, n)
+
+
+@functools.lru_cache(maxsize=32)
+def _s2d_select(f: int, k: int) -> np.ndarray:
+    """S[A, p, r, u] = 1 iff kernel tap u maps to s2d tap A at input phase p
+    for output phase r (u = f*A + p - r)."""
+    span = (f - 1 + k - 1) // f + 1
+    s = np.zeros((span, f, f, k), np.float32)
+    for a in range(span):
+        for p in range(f):
+            for r in range(f):
+                u = f * a + p - r
+                if 0 <= u < k:
+                    s[a, p, r, u] = 1.0
+    return s
+
+
+def s2d_rescue_factor(h: int, w: int, k: int, cin: int, cout: int,
+                      stride: int, pad: int) -> int:
+    """Pick the space-to-depth factor for a conv, or 0 to use the direct
+    path. Only stride-1 SAME convs with tiny channel counts benefit
+    (measured: stem 7x7 3→64 1.9x at f=4, decoder out 7x7 64→3 2.2x at
+    f=8 — tools/convbench.py); everything else loses to XLA's native conv.
+    Static shapes → decided at trace time. MUNIT_S2D=0 disables."""
+    import os
+    if os.environ.get("MUNIT_S2D", "1") != "1":
+        return 0
+    if stride != 1 or k <= 1 or 2 * pad != k - 1:
+        return 0
+    if cout <= 8:
+        f = 8
+    elif cin <= 8:
+        f = 4
+    else:
+        return 0
+    while f > 1 and (h % f or w % f):
+        f //= 2
+    return f if f > 1 else 0
+
+
+def conv2d_s2d(x: jax.Array, kernel: jax.Array,
+               bias: jax.Array | None = None, f: int = 4,
+               pad: int | None = None, pad_type: str = "reflect") -> jax.Array:
+    """Stride-1 odd-kernel conv computed on an f×f space-to-depth grid.
+
+    Exactly equivalent to ``conv2d(pad2d(x, (k-1)//2, pad_type), kernel)``.
+    x: NHWC (unpadded); kernel: [k, k, cin, cout]. H, W must be divisible
+    by f.
+    """
+    k = kernel.shape[0]
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    h, w = x.shape[1], x.shape[2]
+    p0 = (k - 1) // 2 if pad is None else pad
+    xp = pad2d(x, p0, pad_type)
+    e = (-(h + 2 * p0)) % f
+    if e:
+        # far-side zeros; never touched by a nonzero kernel tap (u >= k)
+        xp = jnp.pad(xp, ((0, 0), (0, e), (0, e), (0, 0)))
+    xs = space_to_depth(xp, f)
+    s = jnp.asarray(_s2d_select(f, k), kernel.dtype)
+    k2 = jnp.einsum("apru,bqsv,uvcn->abpqcrsn", s, s, kernel)
+    span = s.shape[0]
+    k2 = k2.reshape(span, span, f * f * cin, f * f * cout)
+    y2 = conv2d(xs, k2, None, 1)
+    y2 = y2[:, :h // f, :w // f, :]
+    y = depth_to_space(y2, f)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+# ---------------------------------------------------------------------------
 # Normalizations
 # ---------------------------------------------------------------------------
+
+
+def _moments(xf: jax.Array, axes) -> tuple:
+    """Single-pass mean/biased-variance: Σx and Σx² in ONE traversal (XLA
+    fuses the two reductions), instead of the textbook two-pass
+    E[(x-mean)²] which costs an extra full read of x. f32 accumulate keeps
+    the E[x²]−mean² cancellation ≤1e-6 for O(1) activations."""
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    mean_sq = jnp.mean(xf * xf, axis=axes, keepdims=True)
+    var = jnp.maximum(mean_sq - mean * mean, 0.0)
+    return mean, var
 
 
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
@@ -120,8 +229,7 @@ def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     x: NHWC. Statistics are computed in float32 regardless of input dtype.
     """
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    mean, var = _moments(xf, (1, 2))
     y = (xf - mean) * lax.rsqrt(var + eps)
     return y.astype(x.dtype)
 
@@ -136,8 +244,7 @@ def adain(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     biased variance).
     """
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    mean, var = _moments(xf, (1, 2))
     y = (xf - mean) * lax.rsqrt(var + eps)
     g = gamma.astype(jnp.float32)[:, None, None, :]
     b = beta.astype(jnp.float32)[:, None, None, :]
@@ -155,8 +262,7 @@ def whole_layer_norm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     """
     xf = x.astype(jnp.float32)
     n = x.shape[1] * x.shape[2] * x.shape[3]
-    mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
-    var_b = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3), keepdims=True)
+    mean, var_b = _moments(xf, (1, 2, 3))
     # unbiased std, matching torch.Tensor.std() default (correction=1)
     std = jnp.sqrt(var_b * (n / (n - 1)))
     y = (xf - mean) / (std + eps)

@@ -75,8 +75,17 @@ class ConvBlock(nn.Module):
             # The reference's sn path drops the padding arg (networks.py:684-689)
             x = ops.conv2d(x, kernel, bias, self.stride)
         else:
-            x = ops.pad2d(x, self.padding, self.pad_type)
-            x = ops.conv2d(x, kernel, bias, self.stride)
+            f = ops.s2d_rescue_factor(x.shape[1], x.shape[2],
+                                      self.kernel_size, in_dim, self.out_dim,
+                                      self.stride, self.padding)
+            if f:
+                # small-channel conv on a space-to-depth grid (exact; see
+                # ops.conv2d_s2d) — rescues the MXU-starved stem/output 7x7s
+                x = ops.conv2d_s2d(x, kernel, bias, f=f, pad=self.padding,
+                                   pad_type=self.pad_type)
+            else:
+                x = ops.pad2d(x, self.padding, self.pad_type)
+                x = ops.conv2d(x, kernel, bias, self.stride)
 
         # norm (+ fused relu where the Pallas path applies)
         fuse_relu = self.activ == "relu"

@@ -1,6 +1,9 @@
 """Isolated conv/primitive benchmarks at the exact shapes of the 256² MUNIT
-net — measures achieved TFLOP/s per conv layer class (fwd and fwd+bwd), and
-the cost of the pad→conv→norm→relu composition vs the bare conv.
+net. Times K=8 unrolled applications on DISTINCT staged inputs inside ONE
+jit (single dispatch — per-call RPC floor over the axon tunnel would
+otherwise dominate sub-ms ops), reporting per-application time and achieved
+TFLOP/s. Also probes space-to-depth reformulations of the small-channel 7×7
+convs (stem 3→64, decoder output 64→3), the worst MFU offenders.
 
   python tools/convbench.py
 """
@@ -14,6 +17,8 @@ import numpy as np
 
 os.environ.setdefault("MUNIT_PALLAS", "0")
 B = int(os.environ.get("BENCH_BATCH", "8"))
+K = 8          # unrolled applications per dispatch
+OUTER = 8      # dispatches timed
 
 
 def main():
@@ -27,8 +32,28 @@ def main():
 
     ops.set_conv_compute(jnp.bfloat16, lax.Precision.DEFAULT)
     act = jnp.bfloat16
+    rng = np.random.RandomState(0)
 
-    # (name, H, W, Cin, Cout, k, stride, pad)
+    def measure(name, fn, xs, flops, extra=""):
+        """fn: single-input callable; xs: [K, ...] staged inputs."""
+        @jax.jit
+        def many(xs):
+            return sum(jnp.sum(fn(xs[i]).astype(jnp.float32))
+                       for i in range(K))
+        float(many(xs))  # compile+warm
+        t0 = time.time()
+        for _ in range(OUTER):
+            out = many(xs)
+        float(out)
+        dt = (time.time() - t0) / (OUTER * K)
+        tf = flops / dt / 1e12
+        print(f"{name:34s} {dt*1e3:7.3f} ms  {tf:6.1f} TF/s {extra}",
+              flush=True)
+        return dt
+
+    def stage(shape):
+        return jnp.asarray(rng.randn(K, *shape), act)
+
     shapes = [
         ("stem 7x7 3->64 @256", 256, 256, 3, 64, 7, 1, 3),
         ("down 4x4 s2 64->128 @256", 256, 256, 64, 128, 4, 2, 1),
@@ -38,60 +63,91 @@ def main():
         ("up 5x5 128->64 @256", 256, 256, 128, 64, 5, 1, 2),
         ("out 7x7 64->3 @256", 256, 256, 64, 3, 7, 1, 3),
     ]
-
-    def timeit(fn, *args, iters=30):
-        out = fn(*args)
-        jax.block_until_ready(out)
-        # scalar-fetch sync (tunnel-safe)
-        float(jnp.sum(out.astype(jnp.float32))[None][0])
-        t0 = time.time()
-        for _ in range(iters):
-            out = fn(*args)
-        float(jnp.sum(out.astype(jnp.float32))[None][0])
-        return (time.time() - t0) / iters
-
-    rng = np.random.RandomState(0)
-    print(f"batch={B}, bf16 convs; TFLOP/s = achieved (v5e bf16 peak ~197)")
+    print(f"batch={B}, bf16, K={K} unrolled per dispatch "
+          f"(v5e bf16 peak ~197 TF/s)")
     for name, h, w, cin, cout, k, s, p in shapes:
-        x = jnp.asarray(rng.randn(B, h, w, cin), act)
         kern = jnp.asarray(rng.randn(k, k, cin, cout) * 0.05, jnp.float32)
-        bias = jnp.zeros((cout,), jnp.float32)
+        xs = stage((B, h, w, cin))
         oh, ow = h // s, w // s
         flops = 2 * B * oh * ow * k * k * cin * cout
+        measure(name, lambda x, kn=kern, pp=p, ss=s:
+                ops.conv2d(ops.pad2d(x, pp, "reflect"), kn, None, ss),
+                xs, flops)
 
-        bare = jax.jit(lambda x, kn: ops.conv2d(ops.pad2d(x, p, "reflect"),
-                                                kn, None, s))
-        full = jax.jit(lambda x, kn, b: jnp.maximum(ops.instance_norm(
-            ops.conv2d(ops.pad2d(x, p, "reflect"), kn, b, s)), 0))
+    # --- space-to-depth probes -------------------------------------------
+    def s2d(x):   # [B,H,W,C] -> [B,H/2,W/2,4C]
+        b, h, w, c = x.shape
+        return x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(
+            0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
 
-        def bwd_loss(x, kn, b):
-            y = jnp.maximum(ops.instance_norm(
-                ops.conv2d(ops.pad2d(x, p, "reflect"), kn, b, s)), 0)
-            return jnp.sum(y.astype(jnp.float32))
-        gradfn = jax.jit(jax.grad(bwd_loss, argnums=(0, 1)))
+    # down 4x4 s2 64->128 as 2x2 s1 conv on s2d(pad(x)):
+    # y[i,j] = sum_{u,v<4} x[2i+u-1, 2j+v-1] k[u,v]  (pad 1)
+    # on s2d grid: phases p=(u-1)%2 etc. Exact rearrangement, no waste.
+    cin, cout = 64, 128
+    kern = jnp.asarray(rng.randn(4, 4, cin, cout) * 0.05, jnp.float32)
+    xs = stage((B, 256, 256, cin))
 
-        t_bare = timeit(bare, x, kern)
-        t_full = timeit(full, x, kern, bias)
-        t_bwd = timeit(lambda *a: gradfn(*a)[1], x, kern, bias)
-        print(f"{name:28s} bare {t_bare*1e3:7.3f} ms ({flops/t_bare/1e12:5.1f} TF/s) | "
-              f"+IN+relu {t_full*1e3:7.3f} ms ({flops/t_full/1e12:5.1f}) | "
-              f"fwd+bwd {t_bwd*1e3:7.3f} ms ({3*flops/t_bwd/1e12:5.1f})",
-              flush=True)
+    def down_s2d(x, kn=kern):
+        xp = ops.pad2d(x, 1, "reflect")          # [B,258,258,64]
+        xp = s2d(xp)                              # [B,129,129,256]
+        # y[i,j] = Σ_{u,v<4} xpad[2i+u,2j+v]·k[u,v]; xpad[2i+u] lives in s2d
+        # cell (i+u//2, phase u%2) → 2x2 s1 conv with
+        # K2[a,b,(p,q,c),n] = K[2a+p, 2b+q, c, n]  (u=2a+p row-major ✓)
+        k2 = kn.reshape(2, 2, 2, 2, cin, cout)    # [a,p,b,q,c,n]
+        k2 = k2.transpose(0, 2, 1, 3, 4, 5)       # [a,b,p,q,c,n]
+        k2 = k2.reshape(2, 2, 4 * cin, cout)
+        return ops.conv2d(xp, k2, None, 1)        # [B,128,128,cout]
 
-    # norm-only costs at the two big decoder LN sites
-    for name, h, w, c in [("whole-LN @128x128x128", 128, 128, 128),
-                          ("whole-LN @256x256x64", 256, 256, 64),
-                          ("IN @64x64x256", 64, 64, 256)]:
-        x = jnp.asarray(rng.randn(B, h, w, c), act)
-        g = jnp.ones((c,), jnp.float32)
-        bt = jnp.zeros((c,), jnp.float32)
-        if name.startswith("whole"):
-            f = jax.jit(lambda x: ops.whole_layer_norm(x, g, bt))
-        else:
-            f = jax.jit(lambda x: ops.instance_norm(x))
-        t = timeit(f, x)
-        gb = B * h * w * c * x.dtype.itemsize * 2 / 1e9
-        print(f"{name:28s} {t*1e3:7.3f} ms ({gb/t:6.0f} GB/s eff rw)")
+    flops = 2 * B * 128 * 128 * 16 * cin * cout
+    measure("down 4x4 s2 as s2d 2x2 s1", down_s2d, xs, flops)
+
+    # out 7x7 64->3: produce 2x2-s2d output (12 ch) from s2d input (256 ch)
+    cin, cout = 64, 3
+    kern = jnp.asarray(rng.randn(7, 7, cin, cout) * 0.05, jnp.float32)
+    xs = stage((B, 256, 256, cin))
+
+    def out_s2d(x, kn=kern):
+        xp = ops.pad2d(x, 3, "reflect")           # [B,262,262,64]
+        xp = s2d(xp)                               # [B,131,131,256]
+        # y[2I+r, 2J+s] = sum_{u,v} xp_orig[2I+r+u, 2J+s+v] k[u,v]
+        # xp_orig index 2I+r+u = 2(I+A)+p with A=(r+u)//2 in 0..3, p=(r+u)%2
+        k2 = np.zeros((4, 4, 4, cin, 4, cout), np.float32)  # [A,Bb,(p,q),c,(r,s),n]
+        kn_np = np.asarray(kn)
+        for r_ in range(2):
+            for s_ in range(2):
+                for u in range(7):
+                    for v in range(7):
+                        A, p_ = divmod(r_ + u, 2)
+                        Bb, q_ = divmod(s_ + v, 2)
+                        k2[A, Bb, 2 * p_ + q_, :, 2 * r_ + s_, :] = kn_np[u, v]
+        k2 = jnp.asarray(k2.reshape(4, 4, 4 * cin, 4 * cout))
+        y2 = ops.conv2d(xp, k2, None, 1)          # [B,128,128,12]
+        b = y2.shape[0]
+        return y2.reshape(b, 128, 128, 2, 2, cout).transpose(
+            0, 1, 3, 2, 4, 5).reshape(b, 256, 256, cout)
+
+    flops = 2 * B * 256 * 256 * 49 * cin * cout
+    measure("out 7x7 64->3 as s2d 5x5", out_s2d, xs, flops,
+            extra="(flops=logical; 4.1x padded)")
+
+    # norms: single-pass vs two-pass instance norm at the res-block slab
+    xs = stage((B, 64, 64, 256))
+
+    def in_two_pass(x):
+        return ops.instance_norm(x)
+
+    def in_one_pass(x):
+        xf = x.astype(jnp.float32)
+        m1 = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        m2 = jnp.mean(xf * xf, axis=(1, 2), keepdims=True)
+        var = m2 - m1 * m1
+        return ((xf - m1) * lax.rsqrt(var + 1e-5)).astype(x.dtype)
+
+    nbytes = B * 64 * 64 * 256 * 2 * 2
+    t = measure("IN two-pass @64x64x256", in_two_pass, xs, 1)
+    print(f"   -> {nbytes / t / 1e9:6.0f} GB/s effective")
+    t = measure("IN one-pass @64x64x256", in_one_pass, xs, 1)
+    print(f"   -> {nbytes / t / 1e9:6.0f} GB/s effective")
 
 
 if __name__ == "__main__":
