@@ -104,7 +104,9 @@ def conv2d(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None,
     )
     y = y.astype(out_dtype)
     if bias is not None:
-        y = y + bias
+        # cast bias to the activation dtype: bf16 + f32 would silently
+        # promote EVERY conv output (and the whole downstream chain) to f32
+        y = y + bias.astype(out_dtype)
     return y
 
 
@@ -202,7 +204,7 @@ def conv2d_s2d(x: jax.Array, kernel: jax.Array,
     y2 = y2[:, :h // f, :w // f, :]
     y = depth_to_space(y2, f)
     if bias is not None:
-        y = y + bias
+        y = y + bias.astype(y.dtype)
     return y
 
 
