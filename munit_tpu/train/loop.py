@@ -77,9 +77,15 @@ def train_loop(trainer, conf, loaders, output_directory: str,
             x_a, mask_a = _dev(ba, "image"), _dev(ba, "mask")
             x_b, mask_b = _dev(bb, "image"), _dev(bb, "mask")
 
-            metrics = dict(trainer.dis_update(x_a, x_b))
-            if (iterations + 1) % conf["ratio_disc_gen"] == 0:
-                metrics.update(trainer.gen_update(x_a, x_b, mask_a, mask_b))
+            gen_iter = (iterations + 1) % conf["ratio_disc_gen"] == 0
+            if gen_iter and getattr(trainer, "fused", False):
+                metrics = dict(trainer.dis_gen_update(x_a, x_b,
+                                                      mask_a, mask_b))
+            else:
+                metrics = dict(trainer.dis_update(x_a, x_b))
+                if gen_iter:
+                    metrics.update(trainer.gen_update(x_a, x_b,
+                                                      mask_a, mask_b))
             if conf["domain_adv_w"] > 0:
                 metrics.update(trainer.domain_classifier_update(x_a, x_b))
             if trainer.use_classifier_sr and \
@@ -97,14 +103,17 @@ def train_loop(trainer, conf, loaders, output_directory: str,
                 mask_s = _dev(bs, "mask")
                 sem_a, sem_b = _dev(bs, "sem_a"), _dev(bs, "sem_b")
                 if iterations % conf["synthetic_frequency"] == 0:
-                    metrics.update(trainer.dis_update(x_as, x_bs))
-                    if conf.get("synthetic_seg_gt", 0) == 0:
-                        metrics.update(trainer.gen_update(
-                            x_as, x_bs, mask_s, mask_s, synth=True))
+                    gt = (None, None) if conf.get("synthetic_seg_gt", 0) == 0 \
+                        else (sem_a, sem_b)
+                    if getattr(trainer, "fused", False):
+                        metrics.update(trainer.dis_gen_update(
+                            x_as, x_bs, mask_s, mask_s, synth=True,
+                            sem_gt_a=gt[0], sem_gt_b=gt[1]))
                     else:
+                        metrics.update(trainer.dis_update(x_as, x_bs))
                         metrics.update(trainer.gen_update(
                             x_as, x_bs, mask_s, mask_s, synth=True,
-                            sem_gt_a=sem_a, sem_gt_b=sem_b))
+                            sem_gt_a=gt[0], sem_gt_b=gt[1]))
                     if trainer.use_classifier_sr and \
                             (iterations + 1) % ad["classif_frequency"] == 0:
                         metrics.update(trainer.domain_classifier_sr_update(

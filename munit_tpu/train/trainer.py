@@ -245,6 +245,11 @@ class MUNITTrainer:
             "MUNIT_WIDE", str(conf.get("wide", 1))))
         if conf["gen_state"] != 1:
             self.wide = 0
+        # Fused dis+gen step on gen iterations (one shared generator
+        # forward; see _dis_gen_step_impl). MUNIT_FUSED=0 falls back to the
+        # two separate steps (identical math & rng stream).
+        self.fused = _os.environ.get(
+            "MUNIT_FUSED", str(conf.get("fused", 1))) in ("1", 1, True)
 
         self.gen = GenBundle(conf, remat=remat)
         d = conf["dis"]
@@ -486,6 +491,9 @@ class MUNITTrainer:
         self._gen_step = jax.jit(self._gen_step_impl,
                                  static_argnames=("synth", "has_sem_gt"),
                                  **donate)
+        self._dis_gen_step = jax.jit(self._dis_gen_step_impl,
+                                     static_argnames=("synth", "has_sem_gt"),
+                                     **donate)
         if self.domain_adv_w:
             self._dann_step = jax.jit(self._dann_step_impl, **donate)
         if self.use_classifier_sr:
@@ -510,36 +518,9 @@ class MUNITTrainer:
         x_ba = jax.lax.stop_gradient(x_ba)   # ≙ .detach() trainer.py:1178
         x_ab = jax.lax.stop_gradient(x_ab)
 
-        def loss_fn(dis_params):
-            if self.wide >= 2:
-                outs_a, outs_b = self._dis_apply_stacked(
-                    dis_params["a"], dis_params["b"],
-                    jnp.concatenate([x_ba, x_a]),
-                    jnp.concatenate([x_ab, x_b]))
-                la = losses.dis_gan_loss([o[:bsz] for o in outs_a],
-                                         [o[bsz:] for o in outs_a],
-                                         self.gan_type)
-                lb = losses.dis_gan_loss([o[:bsz] for o in outs_b],
-                                         [o[bsz:] for o in outs_b],
-                                         self.gan_type)
-            elif self.wide == 1:
-                fa, ra = self._dis_apply_fr(dis_params["a"], x_ba, x_a)
-                fb, rb = self._dis_apply_fr(dis_params["b"], x_ab, x_b)
-                la = losses.dis_gan_loss(fa, ra, self.gan_type)
-                lb = losses.dis_gan_loss(fb, rb, self.gan_type)
-            else:
-                la = losses.dis_gan_loss(
-                    self._dis_apply(dis_params["a"], x_ba),
-                    self._dis_apply(dis_params["a"], x_a), self.gan_type)
-                lb = losses.dis_gan_loss(
-                    self._dis_apply(dis_params["b"], x_ab),
-                    self._dis_apply(dis_params["b"], x_b), self.gan_type)
-            total = self.hw["gan_w"] * (la + lb)
-            return total, {"loss_dis_a": la, "loss_dis_b": lb,
-                           "loss_dis_total": total}
-
         dis_params = {"a": state["dis_a"], "b": state["dis_b"]}
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(dis_params)
+        grads, metrics = jax.grad(self._dis_loss, has_aux=True)(
+            dis_params, x_ba, x_ab, x_a, x_b)
         new_params, new_opt = self._opt_update(
             grads, state["dis_opt"], dis_params, lr, extrapolate)
         state["dis_a"], state["dis_b"] = new_params["a"], new_params["b"]
@@ -595,6 +576,102 @@ class MUNITTrainer:
         return (self._semantic_loss(img1, t1, m1, has_sem_gt)
                 + self._semantic_loss(img2, t2, m2, has_sem_gt))
 
+    def _dis_loss(self, dis_params, x_ba, x_ab, x_a, x_b):
+        """calc_dis_loss over both discriminators (trainer.py:1133-1190)."""
+        bsz = x_a.shape[0]
+        if self.wide >= 2:
+            outs_a, outs_b = self._dis_apply_stacked(
+                dis_params["a"], dis_params["b"],
+                jnp.concatenate([x_ba, x_a]),
+                jnp.concatenate([x_ab, x_b]))
+            la = losses.dis_gan_loss([o[:bsz] for o in outs_a],
+                                     [o[bsz:] for o in outs_a],
+                                     self.gan_type)
+            lb = losses.dis_gan_loss([o[:bsz] for o in outs_b],
+                                     [o[bsz:] for o in outs_b],
+                                     self.gan_type)
+        elif self.wide == 1:
+            fa, ra = self._dis_apply_fr(dis_params["a"], x_ba, x_a)
+            fb, rb = self._dis_apply_fr(dis_params["b"], x_ab, x_b)
+            la = losses.dis_gan_loss(fa, ra, self.gan_type)
+            lb = losses.dis_gan_loss(fb, rb, self.gan_type)
+        else:
+            la = losses.dis_gan_loss(
+                self._dis_apply(dis_params["a"], x_ba),
+                self._dis_apply(dis_params["a"], x_a), self.gan_type)
+            lb = losses.dis_gan_loss(
+                self._dis_apply(dis_params["b"], x_ab),
+                self._dis_apply(dis_params["b"], x_b), self.gan_type)
+        total = self.hw["gan_w"] * (la + lb)
+        return total, {"loss_dis_a": la, "loss_dis_b": lb,
+                       "loss_dis_total": total}
+
+    def _dis_gen_step_impl(self, state, x_a, x_b, mask_a, mask_b, sem_gt_a,
+                           sem_gt_b, lr, extrapolate, synth: bool,
+                           has_sem_gt: bool):
+        """Fused dis_update + gen_update at one iteration, sharing ONE
+        generator forward: at a given iteration the two reference steps run
+        on identical gen params and inputs (dis_update only touches D —
+        trainer.py:1133-1190 then :336-616), so the gen-step forward both
+        produces the dis step's fakes (stop-grad) and carries the gen
+        gradients. D is updated FIRST and the gen adversarial terms are
+        evaluated against the UPDATED D, exactly like the reference's
+        sequential ordering. The rng stream advances exactly as the two
+        separate steps would (dis draws, then gen draws)."""
+        hw = self.hw
+        bsz = x_a.shape[0]
+        rng_mid, d1, d2 = jax.random.split(state["rng"], 3)
+        rng, g1, g2 = jax.random.split(rng_mid, 3)
+        s_a_d = jax.random.normal(d1, (bsz, self.style_dim), x_a.dtype)
+        s_b_d = jax.random.normal(d2, (bsz, self.style_dim), x_b.dtype)
+        s_a_g = jax.random.normal(g1, (bsz, self.style_dim), x_a.dtype)
+        s_b_g = jax.random.normal(g2, (bsz, self.style_dim), x_b.dtype)
+        use_cyc = hw["recon_x_cyc_w"] > 0
+        sem_tgt_a = sem_tgt_b = None
+        if self.semantic_w:
+            sem_tgt_a, sem_tgt_b = self._semantic_targets(
+                x_a, x_b, sem_gt_a, sem_gt_b, has_sem_gt)
+
+        fw, pullback = jax.vjp(
+            lambda p: self._gen_forward(p, x_a, x_b, s_a_g, s_b_g, use_cyc),
+            state["gen"])
+
+        sg = jax.lax.stop_gradient
+        if self.guided == 1:
+            # dis fakes ≡ the gen forward's cross decodes (same params,
+            # same exemplar styles)
+            x_ba_d, x_ab_d = sg(fw["x_ba"]), sg(fw["x_ab"])
+        else:
+            # unguided: the dis step draws its OWN random styles
+            x_ba_d = sg(self.gen.decode(state["gen"], sg(fw["c_b"]),
+                                        s_a_d, 1))
+            x_ab_d = sg(self.gen.decode(state["gen"], sg(fw["c_a"]),
+                                        s_b_d, 2))
+
+        dis_params = {"a": state["dis_a"], "b": state["dis_b"]}
+        grads_d, m_dis = jax.grad(self._dis_loss, has_aux=True)(
+            dis_params, x_ba_d, x_ab_d, x_a, x_b)
+        new_dis, new_dis_opt = self._opt_update(
+            grads_d, state["dis_opt"], dis_params, lr, extrapolate)
+
+        def gen_loss(fw_):
+            return self._gen_loss_from_fw(
+                fw_, state, new_dis["a"], new_dis["b"], x_a, x_b, mask_a,
+                mask_b, s_a_g, s_b_g, sem_tgt_a, sem_tgt_b, synth,
+                has_sem_gt, use_cyc)
+
+        fw_bar, m_gen = jax.grad(gen_loss, has_aux=True)(fw)
+        (gen_grads,) = pullback(fw_bar)
+        new_gen, new_gen_opt = self._opt_update(
+            gen_grads, state["gen_opt"], state["gen"], lr, extrapolate)
+
+        state["dis_a"], state["dis_b"] = new_dis["a"], new_dis["b"]
+        state["dis_opt"] = new_dis_opt
+        state["gen"] = new_gen
+        state["gen_opt"] = new_gen_opt
+        state["rng"] = rng
+        return state, {**m_dis, **m_gen}
+
     def _gen_step_impl(self, state, x_a, x_b, mask_a, mask_b, sem_gt_a,
                        sem_gt_b, lr, extrapolate, synth: bool,
                        has_sem_gt: bool):
@@ -609,134 +686,15 @@ class MUNITTrainer:
             sem_tgt_a, sem_tgt_b = self._semantic_targets(
                 x_a, x_b, sem_gt_a, sem_gt_b, has_sem_gt)
 
+        if not self.semantic_w:
+            sem_tgt_a = sem_tgt_b = None
+
         def loss_fn(gen_params):
             fw = self._gen_forward(gen_params, x_a, x_b, s_a, s_b, use_cyc)
-            c_a, c_b = fw["c_a"], fw["c_b"]
-            s_a_p, s_b_p = fw["s_a_p"], fw["s_b_p"]
-            x_a_recon, x_b_recon = fw["x_a_recon"], fw["x_b_recon"]
-            x_ba, x_ab = fw["x_ba"], fw["x_ab"]
-            c_a_recon, c_b_recon = fw["c_a_recon"], fw["c_b_recon"]
-            s_a_recon, s_b_recon = fw["s_a_recon"], fw["s_b_recon"]
-
-            m = {}
-            m["loss_gen_recon_x_a"] = losses.recon_l1(x_a_recon, x_a)
-            m["loss_gen_recon_x_b"] = losses.recon_l1(x_b_recon, x_b)
-            if self.guided == 1:
-                m["loss_gen_recon_s_a"] = losses.recon_l1(s_a_recon, s_a_p)
-                m["loss_gen_recon_s_b"] = losses.recon_l1(s_b_recon, s_b_p)
-            else:
-                m["loss_gen_recon_s_a"] = losses.recon_l1(s_a_recon, s_a)
-                m["loss_gen_recon_s_b"] = losses.recon_l1(s_b_recon, s_b)
-            m["loss_gen_recon_c_a"] = losses.recon_l1(c_a_recon, c_a)
-            m["loss_gen_recon_c_b"] = losses.recon_l1(c_b_recon, c_b)
-
-            if use_cyc:
-                x_aba, x_bab = fw["x_aba"], fw["x_bab"]
-                if self.recon_mask:
-                    m["loss_gen_cycrecon_x_a"] = losses.recon_l1_masked(
-                        x_aba, x_a, mask_a)
-                    m["loss_gen_cycrecon_x_b"] = losses.recon_l1_masked(
-                        x_bab, x_b, mask_b)
-                else:
-                    m["loss_gen_cycrecon_x_a"] = losses.recon_l1(x_aba, x_a)
-                    m["loss_gen_cycrecon_x_b"] = losses.recon_l1(x_bab, x_b)
-            else:
-                m["loss_gen_cycrecon_x_a"] = jnp.zeros(())
-                m["loss_gen_cycrecon_x_b"] = jnp.zeros(())
-
-            # synthetic-pair alignment loss (trainer.py:452-464): L1 on the
-            # pixel-aligned region of the Unity pair
-            if synth:
-                aligned = (jnp.sum(jnp.abs(x_a - x_b), axis=-1, keepdims=True)
-                           == 0).astype(x_a.dtype)
-                m["loss_gen_recon_synth"] = (
-                    losses.recon_l1_masked(x_ab, x_b, 1.0 - aligned) +
-                    losses.recon_l1_masked(x_ba, x_a, 1.0 - aligned))
-            else:
-                m["loss_gen_recon_synth"] = jnp.zeros(())
-
-            if self.wide >= 2:
-                outs_ba, outs_ab = self._dis_apply_stacked(
-                    state["dis_a"], state["dis_b"], x_ba, x_ab)
-                m["loss_gen_adv_a"] = losses.gen_gan_loss(outs_ba,
-                                                          self.gan_type)
-                m["loss_gen_adv_b"] = losses.gen_gan_loss(outs_ab,
-                                                          self.gan_type)
-            else:
-                m["loss_gen_adv_a"] = losses.gen_gan_loss(
-                    self._dis_apply(state["dis_a"], x_ba), self.gan_type)
-                m["loss_gen_adv_b"] = losses.gen_gan_loss(
-                    self._dis_apply(state["dis_b"], x_ab), self.gan_type)
-
-            if hw["vgg_w"] > 0:
-                from munit_tpu.nn.vgg import Vgg16, vgg_preprocess
-                vgg = Vgg16()
-                feats = lambda img: vgg.apply(
-                    {"params": self.frozen["vgg"]}, vgg_preprocess(img))
-                m["loss_gen_vgg_a"] = losses.vgg_perceptual_loss(
-                    feats(x_ba), feats(x_b))
-                m["loss_gen_vgg_b"] = losses.vgg_perceptual_loss(
-                    feats(x_ab), feats(x_a))
-            else:
-                m["loss_gen_vgg_a"] = jnp.zeros(())
-                m["loss_gen_vgg_b"] = jnp.zeros(())
-
-            if self.semantic_w:
-                m["loss_sem_seg"] = self._semantic_loss_pair(
-                    x_ab, sem_tgt_a, mask_a, x_ba, sem_tgt_b, mask_b,
-                    has_sem_gt)
-            else:
-                m["loss_sem_seg"] = jnp.zeros(())
-
-            if self.domain_adv_w:
-                # anonymize content codes (minimize=False; trainer.py:511-519)
-                out_a, _ = self._dann_apply(state["dann"],
-                                            state["dann_stats"], c_a)
-                out_b, _ = self._dann_apply(state["dann"],
-                                            state["dann_stats"], c_b)
-                m["domain_adv_loss_gen"] = losses.domain_adv_loss(
-                    out_a, out_b, minimize=False)
-            else:
-                m["domain_adv_loss_gen"] = jnp.zeros(())
-
-            if hw["adv_lambda"] > 0:
-                out_a, _ = self._dann_apply(state["classifier_sr_a"],
-                                            state["classifier_sr_a_stats"], c_a)
-                out_b, _ = self._dann_apply(state["classifier_sr_b"],
-                                            state["classifier_sr_b_stats"], c_b)
-                m["loss_classifier_adv_sr"] = losses.classifier_sr_loss(
-                    out_a, out_b, domain_synth=synth, fool=True)
-            else:
-                m["loss_classifier_adv_sr"] = jnp.zeros(())
-
-            if hw["output_adv_lambda"] > 0:
-                m["loss_output_classifier_adv_sr"] = (
-                    losses.gen_sr_loss(self._dis_apply(
-                        state["output_classifier_sr_a"], x_ba)) +
-                    losses.gen_sr_loss(self._dis_apply(
-                        state["output_classifier_sr_b"], x_ab)))
-            else:
-                m["loss_output_classifier_adv_sr"] = jnp.zeros(())
-
-            total = (hw["gan_w"] * (m["loss_gen_adv_a"] + m["loss_gen_adv_b"])
-                     + hw["recon_x_w"] * (m["loss_gen_recon_x_a"]
-                                          + m["loss_gen_recon_x_b"])
-                     + hw["recon_s_w"] * (m["loss_gen_recon_s_a"]
-                                          + m["loss_gen_recon_s_b"])
-                     + hw["recon_c_w"] * (m["loss_gen_recon_c_a"]
-                                          + m["loss_gen_recon_c_b"])
-                     + hw["recon_x_cyc_w"] * (m["loss_gen_cycrecon_x_a"]
-                                              + m["loss_gen_cycrecon_x_b"])
-                     + hw["vgg_w"] * (m["loss_gen_vgg_a"]
-                                      + m["loss_gen_vgg_b"])
-                     + hw["semantic_w"] * m["loss_sem_seg"]
-                     + hw["domain_adv_w"] * m["domain_adv_loss_gen"]
-                     + hw["recon_synth_w"] * m["loss_gen_recon_synth"]
-                     + hw["adv_lambda"] * m["loss_classifier_adv_sr"]
-                     + hw["output_adv_lambda"]
-                     * m["loss_output_classifier_adv_sr"])
-            m["loss_gen_total"] = total
-            return total, m
+            return self._gen_loss_from_fw(
+                fw, state, state["dis_a"], state["dis_b"], x_a, x_b, mask_a,
+                mask_b, s_a, s_b, sem_tgt_a, sem_tgt_b, synth, has_sem_gt,
+                use_cyc)
 
         grads, metrics = jax.grad(loss_fn, has_aux=True)(state["gen"])
         new_gen, new_opt = self._opt_update(
@@ -745,6 +703,142 @@ class MUNITTrainer:
         state["gen_opt"] = new_opt
         state["rng"] = rng
         return state, metrics
+
+    def _gen_loss_from_fw(self, fw, state, dis_a, dis_b, x_a, x_b, mask_a,
+                          mask_b, s_a, s_b, sem_tgt_a, sem_tgt_b,
+                          synth: bool, has_sem_gt: bool, use_cyc: bool):
+        """gen_update loss assembly (reference trainer.py:336-616) over a
+        precomputed generator forward ``fw``. Discriminator params are passed
+        explicitly so the fused dis+gen step can evaluate the adversarial
+        terms against the freshly-updated discriminators (the reference runs
+        dis_update before gen_update at the same iteration)."""
+        hw = self.hw
+        c_a, c_b = fw["c_a"], fw["c_b"]
+        s_a_p, s_b_p = fw["s_a_p"], fw["s_b_p"]
+        x_a_recon, x_b_recon = fw["x_a_recon"], fw["x_b_recon"]
+        x_ba, x_ab = fw["x_ba"], fw["x_ab"]
+        c_a_recon, c_b_recon = fw["c_a_recon"], fw["c_b_recon"]
+        s_a_recon, s_b_recon = fw["s_a_recon"], fw["s_b_recon"]
+
+        m = {}
+        m["loss_gen_recon_x_a"] = losses.recon_l1(x_a_recon, x_a)
+        m["loss_gen_recon_x_b"] = losses.recon_l1(x_b_recon, x_b)
+        if self.guided == 1:
+            m["loss_gen_recon_s_a"] = losses.recon_l1(s_a_recon, s_a_p)
+            m["loss_gen_recon_s_b"] = losses.recon_l1(s_b_recon, s_b_p)
+        else:
+            m["loss_gen_recon_s_a"] = losses.recon_l1(s_a_recon, s_a)
+            m["loss_gen_recon_s_b"] = losses.recon_l1(s_b_recon, s_b)
+        m["loss_gen_recon_c_a"] = losses.recon_l1(c_a_recon, c_a)
+        m["loss_gen_recon_c_b"] = losses.recon_l1(c_b_recon, c_b)
+
+        if use_cyc:
+            x_aba, x_bab = fw["x_aba"], fw["x_bab"]
+            if self.recon_mask:
+                m["loss_gen_cycrecon_x_a"] = losses.recon_l1_masked(
+                    x_aba, x_a, mask_a)
+                m["loss_gen_cycrecon_x_b"] = losses.recon_l1_masked(
+                    x_bab, x_b, mask_b)
+            else:
+                m["loss_gen_cycrecon_x_a"] = losses.recon_l1(x_aba, x_a)
+                m["loss_gen_cycrecon_x_b"] = losses.recon_l1(x_bab, x_b)
+        else:
+            m["loss_gen_cycrecon_x_a"] = jnp.zeros(())
+            m["loss_gen_cycrecon_x_b"] = jnp.zeros(())
+
+        # synthetic-pair alignment loss (trainer.py:452-464): L1 on the
+        # pixel-aligned region of the Unity pair
+        if synth:
+            aligned = (jnp.sum(jnp.abs(x_a - x_b), axis=-1, keepdims=True)
+                       == 0).astype(x_a.dtype)
+            m["loss_gen_recon_synth"] = (
+                losses.recon_l1_masked(x_ab, x_b, 1.0 - aligned) +
+                losses.recon_l1_masked(x_ba, x_a, 1.0 - aligned))
+        else:
+            m["loss_gen_recon_synth"] = jnp.zeros(())
+
+        if self.wide >= 2:
+            outs_ba, outs_ab = self._dis_apply_stacked(
+                dis_a, dis_b, x_ba, x_ab)
+            m["loss_gen_adv_a"] = losses.gen_gan_loss(outs_ba,
+                                                      self.gan_type)
+            m["loss_gen_adv_b"] = losses.gen_gan_loss(outs_ab,
+                                                      self.gan_type)
+        else:
+            m["loss_gen_adv_a"] = losses.gen_gan_loss(
+                self._dis_apply(dis_a, x_ba), self.gan_type)
+            m["loss_gen_adv_b"] = losses.gen_gan_loss(
+                self._dis_apply(dis_b, x_ab), self.gan_type)
+
+        if hw["vgg_w"] > 0:
+            from munit_tpu.nn.vgg import Vgg16, vgg_preprocess
+            vgg = Vgg16()
+            feats = lambda img: vgg.apply(
+                {"params": self.frozen["vgg"]}, vgg_preprocess(img))
+            m["loss_gen_vgg_a"] = losses.vgg_perceptual_loss(
+                feats(x_ba), feats(x_b))
+            m["loss_gen_vgg_b"] = losses.vgg_perceptual_loss(
+                feats(x_ab), feats(x_a))
+        else:
+            m["loss_gen_vgg_a"] = jnp.zeros(())
+            m["loss_gen_vgg_b"] = jnp.zeros(())
+
+        if self.semantic_w:
+            m["loss_sem_seg"] = self._semantic_loss_pair(
+                x_ab, sem_tgt_a, mask_a, x_ba, sem_tgt_b, mask_b,
+                has_sem_gt)
+        else:
+            m["loss_sem_seg"] = jnp.zeros(())
+
+        if self.domain_adv_w:
+            # anonymize content codes (minimize=False; trainer.py:511-519)
+            out_a, _ = self._dann_apply(state["dann"],
+                                        state["dann_stats"], c_a)
+            out_b, _ = self._dann_apply(state["dann"],
+                                        state["dann_stats"], c_b)
+            m["domain_adv_loss_gen"] = losses.domain_adv_loss(
+                out_a, out_b, minimize=False)
+        else:
+            m["domain_adv_loss_gen"] = jnp.zeros(())
+
+        if hw["adv_lambda"] > 0:
+            out_a, _ = self._dann_apply(state["classifier_sr_a"],
+                                        state["classifier_sr_a_stats"], c_a)
+            out_b, _ = self._dann_apply(state["classifier_sr_b"],
+                                        state["classifier_sr_b_stats"], c_b)
+            m["loss_classifier_adv_sr"] = losses.classifier_sr_loss(
+                out_a, out_b, domain_synth=synth, fool=True)
+        else:
+            m["loss_classifier_adv_sr"] = jnp.zeros(())
+
+        if hw["output_adv_lambda"] > 0:
+            m["loss_output_classifier_adv_sr"] = (
+                losses.gen_sr_loss(self._dis_apply(
+                    state["output_classifier_sr_a"], x_ba)) +
+                losses.gen_sr_loss(self._dis_apply(
+                    state["output_classifier_sr_b"], x_ab)))
+        else:
+            m["loss_output_classifier_adv_sr"] = jnp.zeros(())
+
+        total = (hw["gan_w"] * (m["loss_gen_adv_a"] + m["loss_gen_adv_b"])
+                 + hw["recon_x_w"] * (m["loss_gen_recon_x_a"]
+                                      + m["loss_gen_recon_x_b"])
+                 + hw["recon_s_w"] * (m["loss_gen_recon_s_a"]
+                                      + m["loss_gen_recon_s_b"])
+                 + hw["recon_c_w"] * (m["loss_gen_recon_c_a"]
+                                      + m["loss_gen_recon_c_b"])
+                 + hw["recon_x_cyc_w"] * (m["loss_gen_cycrecon_x_a"]
+                                          + m["loss_gen_cycrecon_x_b"])
+                 + hw["vgg_w"] * (m["loss_gen_vgg_a"]
+                                  + m["loss_gen_vgg_b"])
+                 + hw["semantic_w"] * m["loss_sem_seg"]
+                 + hw["domain_adv_w"] * m["domain_adv_loss_gen"]
+                 + hw["recon_synth_w"] * m["loss_gen_recon_synth"]
+                 + hw["adv_lambda"] * m["loss_classifier_adv_sr"]
+                 + hw["output_adv_lambda"]
+                 * m["loss_output_classifier_adv_sr"])
+        m["loss_gen_total"] = total
+        return total, m
 
     # --- aux classifiers ----------------------------------------------------
 
@@ -886,6 +980,23 @@ class MUNITTrainer:
             self._lr(), self._phase(), synth=bool(synth),
             has_sem_gt=bool(has_gt))
         return metrics
+
+    def dis_gen_update(self, x_a, x_b, mask_a=None, mask_b=None,
+                       synth=False, sem_gt_a=None, sem_gt_b=None):
+        """Fused dis_update + gen_update (one shared generator forward,
+        reference-ordered). Returns merged metrics of both updates."""
+        lr = self._lr()
+        z_img = jnp.zeros_like(x_a[..., :1])
+        z_sem = jnp.zeros(x_a.shape[:3], jnp.int32)
+        has_gt = sem_gt_a is not None
+        self.state, metrics = self._dis_gen_step(
+            self.state, x_a, x_b,
+            mask_a if mask_a is not None else z_img,
+            mask_b if mask_b is not None else z_img,
+            sem_gt_a if has_gt else z_sem,
+            sem_gt_b if has_gt else z_sem,
+            lr, self._phase(), synth=bool(synth), has_sem_gt=bool(has_gt))
+        return dict(metrics, lr=lr)
 
     def domain_classifier_update(self, x_a, x_b):
         self.state, metrics = self._dann_step(self.state, x_a, x_b,
