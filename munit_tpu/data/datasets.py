@@ -9,12 +9,62 @@ host-shardable.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Dict, List, Optional
 
 import numpy as np
 from PIL import Image
 
 from munit_tpu.data import transforms as T
+
+
+class _DecodeCache:
+    """Byte-bounded RAM cache of decoded+resized uint8 arrays.
+
+    On a CPU-starved host (this image exposes ONE core) JPEG decode+resize is
+    the training bottleneck, not the TPU (BENCH.md r2 e2e row): each image is
+    drawn many times per epoch but its decode+resize result is
+    draw-independent — only the flip/crop varies. Caching the resized uint8
+    array makes the steady-state per-draw cost a crop + flip slice.
+    Thread-safe (loader workers share it); stops inserting at the budget
+    (first-come residency, no eviction — epochs revisit the same indices).
+    """
+
+    def __init__(self, budget_bytes: int):
+        self.budget = budget_bytes
+        self.data: Dict[int, tuple] = {}
+        self.nbytes = 0
+        self.lock = threading.Lock()
+
+    def get(self, key):
+        return self.data.get(key)
+
+    def put(self, key, arrays: tuple):
+        size = sum(int(a.nbytes) for a in arrays if a is not None)
+        with self.lock:
+            if key in self.data or self.nbytes + size > self.budget:
+                return
+            self.data[key] = arrays
+            self.nbytes += size
+
+
+def _cache_budget_bytes() -> int:
+    """MUNIT_CACHE_MB (default 2048; 0 disables the decoded-image cache)."""
+    return int(os.environ.get("MUNIT_CACHE_MB", "2048")) << 20
+
+
+def _uint8_out_default() -> bool:
+    """MUNIT_LOADER_UINT8=1: emit uint8 images/binary masks; the device
+    prefetch stage normalizes on-TPU (4x less H2D traffic, no host-side
+    float conversion on the single CPU core)."""
+    return os.environ.get("MUNIT_LOADER_UINT8", "0") == "1"
+
+
+def _setup_cache(obj, cache_mb, uint8_out, cacheable: bool):
+    budget = _cache_budget_bytes() if cache_mb is None else cache_mb << 20
+    obj.cache = _DecodeCache(budget) if budget > 0 and cacheable else None
+    obj.uint8_out = _uint8_out_default() if uint8_out is None else uint8_out
+
 
 IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".JPG", ".JPEG",
                   ".PNG", ".PPM", ".BMP")
@@ -51,19 +101,33 @@ class ImageFilelist:
     """root + txt list of paths → transformed image (data.py:26-49)."""
 
     def __init__(self, root: str, flist: str, new_size: Optional[int],
-                 height: int, width: int, train: bool, crop: bool = True):
+                 height: int, width: int, train: bool, crop: bool = True,
+                 cache_mb: Optional[int] = None,
+                 uint8_out: Optional[bool] = None):
         self.root = root
         self.paths = read_filelist(flist)
         self.new_size, self.h, self.w = new_size, height, width
         self.train, self.crop = train, crop
+        _setup_cache(self, cache_mb, uint8_out, bool(new_size and crop))
 
     def __len__(self):
         return len(self.paths)
 
     def get(self, index: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        if self.cache is not None:
+            hit = self.cache.get(index)
+            if hit is None:
+                img = _open_rgb(os.path.join(self.root, self.paths[index]))
+                hit = (np.asarray(T.resize_shorter(img, self.new_size)),)
+                self.cache.put(index, hit)
+            x = T.image_transform_cached(rng, hit[0], self.h, self.w,
+                                         self.train, self.uint8_out)
+            return {"image": x}
         img = _open_rgb(os.path.join(self.root, self.paths[index]))
         x = T.image_transform(rng, img, self.new_size, self.h, self.w,
                               self.train, self.crop)
+        if self.uint8_out:
+            x = np.round((x + 1.0) * 127.5).astype(np.uint8)
         return {"image": x}
 
 
@@ -88,12 +152,15 @@ class ImageFolder(ImageFilelist):
 
     def __init__(self, folder: str, new_size: Optional[int], height: int,
                  width: int, train: bool, crop: bool = True,
-                 return_paths: bool = False):
+                 return_paths: bool = False,
+                 cache_mb: Optional[int] = None,
+                 uint8_out: Optional[bool] = None):
         self.root = ""
         self.paths = scan_folder(folder)
         self.new_size, self.h, self.w = new_size, height, width
         self.train, self.crop = train, crop
         self.return_paths = return_paths
+        _setup_cache(self, cache_mb, uint8_out, bool(new_size and crop))
 
     def get(self, index, rng):
         out = super().get(index, rng)
@@ -107,20 +174,52 @@ class ImageMaskDataset:
     (MyDataset, utils.py:270-363)."""
 
     def __init__(self, file_list: str, mask_list: Optional[str],
-                 new_size: int, height: int, width: int):
+                 new_size: int, height: int, width: int,
+                 cache_mb: Optional[int] = None,
+                 uint8_out: Optional[bool] = None):
         self.paths = read_filelist(file_list)
         self.mask_paths = read_filelist(mask_list) if mask_list else None
         self.new_size, self.h, self.w = new_size, height, width
+        _setup_cache(self, cache_mb, uint8_out, bool(new_size))
 
     def __len__(self):
         return len(self.paths)
 
+    def _decode_resized(self, index):
+        img = T.resize_shorter(_open_rgb(self.paths[index]), self.new_size)
+        mask = mask_flip = None
+        if self.mask_paths:
+            def prep(m):
+                arr = np.asarray(m.resize(img.size, Image.NEAREST))
+                if arr.ndim == 3:
+                    arr = arr[..., 0]
+                return (arr if arr.dtype == np.uint8
+                        else arr.astype(np.uint8))
+            m = Image.open(self.mask_paths[index])
+            # NEAREST doesn't commute with mirroring: store both orientations
+            # (see image_mask_transform_cached)
+            mask = prep(m)
+            mask_flip = prep(m.transpose(Image.FLIP_LEFT_RIGHT))
+        return np.asarray(img), mask, mask_flip
+
     def get(self, index, rng):
+        if self.cache is not None:
+            hit = self.cache.get(index)
+            if hit is None:
+                hit = self._decode_resized(index)
+                self.cache.put(index, hit)
+            x, m = T.image_mask_transform_cached(rng, hit[0], hit[1], hit[2],
+                                                 self.h, self.w,
+                                                 self.uint8_out)
+            return {"image": x, "mask": m}
         img = _open_rgb(self.paths[index])
         mask = (Image.open(self.mask_paths[index])
                 if self.mask_paths else None)
         x, m = T.image_mask_transform(rng, img, mask, self.new_size,
                                       self.h, self.w)
+        if self.uint8_out:
+            x = np.round((x + 1.0) * 127.5).astype(np.uint8)
+            m = (m > 0.5).astype(np.uint8)
         return {"image": x, "mask": m}
 
 

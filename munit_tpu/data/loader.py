@@ -140,19 +140,48 @@ class DataLoader:
             stop.set()
 
 
-def device_prefetch(iterator, size: int = 2, sharding=None):
+def device_prefetch(iterator, size: int = 2, sharding=None,
+                    image_dtype=None):
     """Move batches to device ahead of compute (jnp arrays, optionally with a
-    NamedSharding for multi-chip input feeding)."""
+    NamedSharding for multi-chip input feeding).
+
+    uint8 batches (MUNIT_LOADER_UINT8=1 loaders) are normalized ON DEVICE:
+    image keys become ``image_dtype`` (default float32) in [-1, 1] with the
+    exact host op order ((x/255)*2-1), masks become float {0,1}. This ships
+    4x fewer H2D bytes and removes the host-side float conversion — decisive
+    on a CPU-starved host (BENCH.md r2 e2e).
+    """
     import jax
+    import jax.numpy as jnp
     import collections
 
+    dt = image_dtype or jnp.float32
+
+    @jax.jit
+    def _norm_image(x):
+        return ((x.astype(jnp.float32) / 255.0) * 2.0 - 1.0).astype(dt)
+
+    @jax.jit
+    def _norm_mask(x):
+        return x.astype(jnp.float32)
+
+    def postprocess(k, v):
+        if v.dtype == np.uint8 and k.startswith("image"):
+            return _norm_image(v)
+        if v.dtype == np.uint8 and k.startswith("mask"):
+            return _norm_mask(v)
+        return v
+
     def to_device(batch):
-        if sharding is not None:
-            return {k: (jax.device_put(v, sharding)
-                        if isinstance(v, np.ndarray) else v)
-                    for k, v in batch.items()}
-        return {k: (jax.device_put(v) if isinstance(v, np.ndarray) else v)
-                for k, v in batch.items()}
+        out = {}
+        for k, v in batch.items():
+            if not isinstance(v, np.ndarray):
+                out[k] = v
+                continue
+            d = (jax.device_put(v, sharding) if sharding is not None
+                 else jax.device_put(v))
+            out[k] = postprocess(k, d)
+        return out
 
     buf = collections.deque()
     it = iter(iterator)

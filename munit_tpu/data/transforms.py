@@ -66,7 +66,7 @@ def normalize_pm1(arr01: np.ndarray) -> np.ndarray:
     return arr01 * 2.0 - 1.0
 
 
-def mask_to_array(mask: Image.Image) -> np.ndarray:
+def mask_to_array(mask) -> np.ndarray:
     """Reference mask loading heuristic (utils.py:316-321): masks stored as
     {0,1} are rescaled ×255 after ToTensor; {0,255} masks pass through. Both
     end as float {0,1} HW1."""
@@ -99,6 +99,78 @@ def _native():
         return native if native.available() else None
     except Exception:
         return None
+
+
+def _crop_ij(rng: np.random.Generator, h: int, w: int, th: int,
+             tw: int) -> Tuple[int, int]:
+    """crop_params on array dims — same draw order/conditions."""
+    if h == th and w == tw:
+        return 0, 0
+    return int(rng.integers(0, h - th + 1)), int(rng.integers(0, w - tw + 1))
+
+
+def _finish_image(crop_u8: np.ndarray, uint8_out: bool) -> np.ndarray:
+    if uint8_out:
+        return np.ascontiguousarray(crop_u8)
+    return normalize_pm1(crop_u8.astype(np.float32) / 255.0)
+
+
+def image_transform_cached(rng: Optional[np.random.Generator],
+                           img_u8: np.ndarray, th: int, tw: int, train: bool,
+                           uint8_out: bool = False) -> np.ndarray:
+    """image_transform replayed on a pre-decoded, pre-resized uint8 array.
+
+    Bit-exact to the PIL path for the same rng: PIL's fixed-point separable
+    resampling commutes exactly with horizontal mirroring (integer tap sums
+    are order-independent), so flip-after-resize == resize-after-flip; the
+    crop column is mirrored accordingly. Draw order matches image_transform
+    (flip, then i, then j).
+    """
+    flip = bool(train and rng is not None and rng.random() < 0.5)
+    h, w = img_u8.shape[:2]
+    if train and rng is not None:
+        i, j = _crop_ij(rng, h, w, th, tw)
+    else:
+        i, j = (h - th) // 2, (w - tw) // 2
+    jj = (w - tw - j) if flip else j
+    out = img_u8[i:i + th, jj:jj + tw]
+    if flip:
+        out = out[:, ::-1]
+    return _finish_image(out, uint8_out)
+
+
+def image_mask_transform_cached(rng: np.random.Generator,
+                                img_u8: np.ndarray,
+                                mask_u8: Optional[np.ndarray],
+                                mask_flip_u8: Optional[np.ndarray],
+                                th: int, tw: int,
+                                uint8_out: bool = False):
+    """image_mask_transform replayed on cached uint8 arrays (see
+    image_transform_cached for the exactness argument — valid for the
+    BILINEAR image). NEAREST does NOT commute with mirroring (the snapped
+    source column differs on a mirrored grid), so the cache holds BOTH mask
+    orientations, each resized after the reference-order flip; masks are
+    bytes, so the extra copy is cheap. The ×255 heuristic is applied per
+    crop exactly like mask_to_array."""
+    flip = rng.random() > 0.5
+    h, w = img_u8.shape[:2]
+    i, j = _crop_ij(rng, h, w, th, tw)
+    jj = (w - tw - j) if flip else j
+    out = img_u8[i:i + th, jj:jj + tw]
+    if flip:
+        out = out[:, ::-1]
+    img = _finish_image(out, uint8_out)
+    if mask_u8 is None:
+        z = np.zeros((th, tw, 1), np.uint8 if uint8_out else np.float32)
+        return img, z
+    mc = (mask_flip_u8 if flip else mask_u8)[i:i + th, j:j + tw]
+    if uint8_out:
+        # binary {0,1} uint8; device side casts to float. Exact for the
+        # binary masks every shipped dataset uses (mask_to_array heuristic).
+        m = (mc.astype(np.uint8) if mc.max() == 1
+             else (mc >= 128).astype(np.uint8))
+        return img, np.ascontiguousarray(m[:, :, None])
+    return img, mask_to_array(np.ascontiguousarray(mc))
 
 
 def image_transform(rng: Optional[np.random.Generator], img: Image.Image,

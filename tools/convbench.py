@@ -130,6 +130,48 @@ def main():
     measure("out 7x7 64->3 as s2d 5x5", out_s2d, xs, flops,
             extra="(flops=logical; 4.1x padded)")
 
+    # res 3x3 alternatives: shift-and-matmul (9 dots on strided slices) and
+    # im2col (one [M, 9C] x [9C, N] dot) — probing whether XLA's native conv
+    # at 55 TF/s leaves MXU headroom on the FLOP-dominant res-block shape.
+    cin = cout = 256
+    kern = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.05, jnp.float32)
+    xs = stage((B, 64, 64, cin))
+    flops = 2 * B * 64 * 64 * 9 * cin * cout
+
+    def res_shift_matmul(x, kn=kern):
+        xp = ops.pad2d(x, 1, "reflect")
+        knb = kn.astype(x.dtype)
+        acc = None
+        for u in range(3):
+            for v in range(3):
+                sl = xp[:, u:u + 64, v:v + 64, :]
+                y = jax.lax.dot_general(
+                    sl, knb[u, v], (((3,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.DEFAULT)
+                acc = y if acc is None else acc + y
+        return acc
+
+    measure("res 3x3 as 9 shifted matmuls", res_shift_matmul, xs, flops)
+
+    def res_im2col(x, kn=kern):
+        xp = ops.pad2d(x, 1, "reflect")
+        cols = jnp.concatenate(
+            [xp[:, u:u + 64, v:v + 64, :] for u in range(3)
+             for v in range(3)], axis=-1)
+        k2 = kn.astype(x.dtype).reshape(9 * cin, cout)
+        return jax.lax.dot_general(
+            cols, k2, (((3,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT)
+
+    measure("res 3x3 as im2col matmul", res_im2col, xs, flops)
+
+    # the same conv at batch 32 (MXU efficiency vs batch)
+    xs32 = stage((32, 64, 64, cin))
+    measure("res 3x3 256->256 @64 b32",
+            lambda x, kn=kern: ops.conv2d(ops.pad2d(x, 1, "reflect"), kn,
+                                          None, 1),
+            xs32, flops * 4)
+
     # norms: single-pass vs two-pass instance norm at the res-block slab
     xs = stage((B, 64, 64, 256))
 
