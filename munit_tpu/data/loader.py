@@ -153,7 +153,6 @@ def device_prefetch(iterator, size: int = 2, sharding=None,
     """
     import jax
     import jax.numpy as jnp
-    import collections
 
     dt = image_dtype or jnp.float32
 
@@ -183,13 +182,50 @@ def device_prefetch(iterator, size: int = 2, sharding=None,
             out[k] = postprocess(k, d)
         return out
 
-    buf = collections.deque()
-    it = iter(iterator)
+    # H2D + normalize run on a dedicated thread: device_put / tiny-kernel
+    # dispatch release the GIL, so transfers overlap the main thread's step
+    # dispatching instead of serializing with it (BENCH.md r2 e2e — on the
+    # 1-core host the main-thread puts were ~1/4 of every iteration).
+    import queue as _queue
+    out_q: "_queue.Queue" = _queue.Queue(maxsize=size)
+    stop = threading.Event()
+    _END = object()
+
+    def pump():
+        try:
+            for batch in iterator:
+                item = to_device(batch)
+                while not stop.is_set():
+                    try:
+                        out_q.put(item, timeout=0.1)
+                        break
+                    except _queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            while not stop.is_set():
+                try:
+                    out_q.put(_END, timeout=0.1)
+                    return
+                except _queue.Full:
+                    continue
+        except BaseException as e:  # surface worker errors to the consumer
+            while not stop.is_set():
+                try:
+                    out_q.put(e, timeout=0.1)
+                    return
+                except _queue.Full:
+                    continue
+
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
     try:
         while True:
-            while len(buf) < size:
-                buf.append(to_device(next(it)))
-            yield buf.popleft()
-    except StopIteration:
-        while buf:
-            yield buf.popleft()
+            item = out_q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

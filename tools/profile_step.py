@@ -35,26 +35,28 @@ def main():
         jax.random.PRNGKey(1), jnp.zeros((1, crop, crop, 3))))
 
     rng = np.random.RandomState(0)
-    x_a = jnp.asarray(rng.randn(batch, crop, crop, 3).astype(np.float32))
-    x_b = jnp.asarray(rng.randn(batch, crop, crop, 3).astype(np.float32))
+    # bench.py defaults: bf16 activations, fused dis+gen on gen iterations
+    x_a = jnp.asarray(rng.randn(batch, crop, crop, 3), jnp.bfloat16)
+    x_b = jnp.asarray(rng.randn(batch, crop, crop, 3), jnp.bfloat16)
     mask = jnp.asarray((rng.rand(batch, crop, crop, 1) > 0.5)
                        .astype(np.float32))
 
+    def one_iter(it):
+        tr.iterations = it
+        if (it + 1) % conf["ratio_disc_gen"] == 0 and tr.fused:
+            with profiling.annotate("dis_gen_step"):
+                return tr.dis_gen_update(x_a, x_b, mask, mask)
+        with profiling.annotate("dis_step"):
+            return tr.dis_update(x_a, x_b)
+
     # warm/compiled
-    tr.iterations = 0
-    m = tr.dis_update(x_a, x_b)
-    tr.iterations = 4
-    m = tr.gen_update(x_a, x_b, mask, mask)
+    m = one_iter(0)
+    m = one_iter(4)
     float(list(m.values())[0])
 
     with profiling.trace(outdir):
         for it in range(5):
-            tr.iterations = it
-            with profiling.annotate("dis_step"):
-                m = tr.dis_update(x_a, x_b)
-            if (it + 1) % 5 == 0:
-                with profiling.annotate("gen_step"):
-                    m = tr.gen_update(x_a, x_b, mask, mask)
+            m = one_iter(it)
         float(list(m.values())[0])
     print(f"trace written to {outdir}")
 
