@@ -33,10 +33,61 @@ from jax import lax
 # ---------------------------------------------------------------------------
 
 
+def _pad_axis_bwd(g: jax.Array, p: int, axis: int, mode: str) -> jax.Array:
+    """Transpose of reflect/edge padding along one axis, strip-built.
+
+    XLA's native VJP for pad-by-concatenation emits a chain of
+    slice+add fusions that each rewrite the ENTIRE tensor to fold in a
+    p-wide border strip (~0.83 ms each on the train step's 16x262x262x64
+    slabs — BENCH.md r2 trace). Building the result from strips with ONE
+    concatenation per axis does the same math in a single full-tensor
+    write.
+    """
+    n = g.shape[axis] - 2 * p          # un-padded length
+    sl = lambda a, b: lax.slice_in_dim(g, a, b, axis=axis)
+    mid = sl(p, p + n)
+    if mode == "reflect":
+        # padded index j<p sources row p-j; j>=n+p sources 2n+p-2-j
+        top = jnp.flip(sl(0, p), axis)            # adds to rows 1..p
+        bot = jnp.flip(sl(n + p, n + 2 * p), axis)  # rows n-1-p..n-2
+        msl = lambda a, b: lax.slice_in_dim(mid, a, b, axis=axis)
+        parts = [msl(0, 1), msl(1, p + 1) + top, msl(p + 1, n - 1 - p),
+                 msl(n - 1 - p, n - 1) + bot, msl(n - 1, n)]
+    else:  # replicate: all p border rows source the edge row
+        top = jnp.sum(sl(0, p), axis=axis, keepdims=True)
+        bot = jnp.sum(sl(n + p, n + 2 * p), axis=axis, keepdims=True)
+        msl = lambda a, b: lax.slice_in_dim(mid, a, b, axis=axis)
+        parts = [msl(0, 1) + top, msl(1, n - 1), msl(n - 1, n) + bot]
+    return jnp.concatenate(parts, axis=axis)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _pad2d_nonzero(x: jax.Array, padding: int, mode: str) -> jax.Array:
+    p = ((0, 0), (padding, padding), (padding, padding), (0, 0))
+    return jnp.pad(x, p, mode="reflect" if mode == "reflect" else "edge")
+
+
+def _pad2d_fwd(x, padding, mode):
+    return _pad2d_nonzero(x, padding, mode), None
+
+
+def _pad2d_bwd(padding, mode, _, g):
+    g = _pad_axis_bwd(g, padding, 1, mode)
+    g = _pad_axis_bwd(g, padding, 2, mode)
+    return (g,)
+
+
+_pad2d_nonzero.defvjp(_pad2d_fwd, _pad2d_bwd)
+
+
 def pad2d(x: jax.Array, padding: int, mode: str) -> jax.Array:
     """Spatially pad an NHWC tensor.
 
     mode: 'reflect' | 'replicate' | 'zero'  (networks.py:641-649)
+
+    reflect/replicate use a custom VJP (see ``_pad_axis_bwd``) whose
+    backward folds the border-strip gradients in one concatenation per
+    axis instead of XLA's full-tensor slice+add chain.
 
     The result is tagged ``conv_pad`` (jax.ad_checkpoint.checkpoint_name):
     inert under plain autodiff, but inside a jax.checkpoint region with the
@@ -47,13 +98,17 @@ def pad2d(x: jax.Array, padding: int, mode: str) -> jax.Array:
     if padding == 0:
         return x
     from jax.ad_checkpoint import checkpoint_name
-    p = ((0, 0), (padding, padding), (padding, padding), (0, 0))
-    if mode == "reflect":
-        y = jnp.pad(x, p, mode="reflect")
-    elif mode == "replicate":
-        y = jnp.pad(x, p, mode="edge")
+    if mode in ("reflect", "replicate"):
+        # strip construction needs non-overlapping border bands
+        if 2 * padding + 2 <= min(x.shape[1], x.shape[2]):
+            y = _pad2d_nonzero(x, padding, mode)
+        else:
+            p = ((0, 0), (padding, padding), (padding, padding), (0, 0))
+            y = jnp.pad(x, p,
+                        mode="reflect" if mode == "reflect" else "edge")
     elif mode == "zero":
-        y = jnp.pad(x, p, mode="constant")
+        y = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding),
+                        (0, 0)), mode="constant")
     else:
         raise ValueError(f"Unsupported padding type: {mode}")
     return checkpoint_name(y, "conv_pad")

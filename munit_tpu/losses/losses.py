@@ -136,9 +136,18 @@ def domain_adv_loss(out_a: jax.Array, out_b: jax.Array,
 
 
 def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """Mean softmax cross-entropy. logits NHWC (or (B,C)), labels int."""
+    """Mean softmax cross-entropy. logits NHWC (or (B,C)), labels int.
+
+    The label pick is a one-hot contraction rather than take_along_axis: on
+    TPU the gather (and its scatter VJP) lowers to a serialized kCustom
+    fusion — 7.7 ms per call on the 8x256x256x20 train-step logits vs <1 ms
+    for the compare+select reduction, which vectorizes on the VPU.
+    """
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    n_cls = logits.shape[-1]
+    classes = jax.lax.iota(jnp.int32, n_cls)
+    onehot = (labels[..., None] == classes).astype(logp.dtype)
+    nll = -jnp.sum(logp * onehot, axis=-1)
     return jnp.mean(nll)
 
 

@@ -99,6 +99,22 @@ def test_pad2d(rng, pad_type, torch_mode):
     np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
 
 
+@pytest.mark.parametrize("pad_type", ["reflect", "replicate"])
+@pytest.mark.parametrize("h,w,p", [(8, 9, 1), (10, 8, 2), (16, 16, 3),
+                                   (6, 6, 3)])  # last: fallback path
+def test_pad2d_custom_vjp_matches_jnp_pad_grad(rng, pad_type, h, w, p):
+    """pad2d's strip-built backward (one concat per axis instead of XLA's
+    full-tensor slice+add chain) is numerically the transpose of the pad."""
+    jnp_mode = "reflect" if pad_type == "reflect" else "edge"
+    x = jnp.asarray(rng.randn(2, h, w, 3).astype(np.float32))
+    ct = jnp.asarray(rng.randn(2, h + 2 * p, w + 2 * p, 3).astype(np.float32))
+    g_ref = jax.grad(lambda x_: jnp.sum(jnp.pad(
+        x_, ((0, 0), (p, p), (p, p), (0, 0)), mode=jnp_mode) * ct))(x)
+    g_new = jax.grad(lambda x_: jnp.sum(ops.pad2d(x_, p, pad_type) * ct))(x)
+    np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_new),
+                               rtol=1e-6, atol=1e-6)
+
+
 @pytest.mark.parametrize("k,stride,padding", [(7, 1, 3), (4, 2, 1), (3, 1, 1), (1, 1, 0), (5, 1, 2)])
 def test_conv2d_vs_torch(rng, k, stride, padding):
     cin, cout = 3, 8

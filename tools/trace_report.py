@@ -20,7 +20,10 @@ def main():
                       recursive=True)
     if not paths:
         sys.exit(f"no .xplane.pb under {outdir}")
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    try:
+        from tensorflow.core.profiler.protobuf import xplane_pb2
+    except ModuleNotFoundError:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     for path in paths:
         xspace = xplane_pb2.XSpace()
