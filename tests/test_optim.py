@@ -144,3 +144,4 @@ def test_step_lr_matches_torch_steplr():
     for it in range(20):
         sch.step()  # update_learning_rate() at the start of iteration `it`
         assert abs(sched(it) - opt.param_groups[0]["lr"]) < 1e-15, it
+
