@@ -26,6 +26,7 @@ TPU-first design choices:
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -466,13 +467,17 @@ class MUNITTrainer:
 
     def _segment(self, img_pm1):
         """Frozen segmenter logits (B,H,W,19) from a [-1,1] image.
-        Rematerialized: the backward through the semantic loss recomputes the
-        ResNet34 forward instead of storing its activations — a large HBM
-        saving on the gen step for one extra (cheap, frozen) forward."""
+        By default the backward through the semantic loss stores the frozen
+        ResNet34's activations (fits at 256²/batch 8 since the bf16/pad-
+        residual fixes; +1.7% measured, BENCH.md). MUNIT_SEG_REMAT=1
+        rematerializes instead — recompute the forward in the backward for a
+        large HBM saving — for HD crops or bigger batches."""
         def run(img):
             return self.seg_model_def.apply(self.frozen["seg"],
                                             seg_preprocess(img))
-        return jax.checkpoint(run)(img_pm1)
+        if _os.environ.get("MUNIT_SEG_REMAT", "0") == "1":
+            run = jax.checkpoint(run)
+        return run(img_pm1)
 
     # -------------------------------------------------------------- steps
 

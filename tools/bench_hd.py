@@ -15,6 +15,8 @@ import time
 import numpy as np
 
 os.environ.setdefault("MUNIT_PALLAS", "0")
+# 512² crops: keep the frozen segmenter rematerialized (HBM over speed)
+os.environ.setdefault("MUNIT_SEG_REMAT", "1")
 
 BATCH = int(os.environ.get("BENCH_BATCH", "2"))
 CROP = 512
