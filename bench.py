@@ -27,7 +27,7 @@ os.environ.setdefault("MUNIT_PALLAS", "0")
 REFERENCE_H100_IMAGES_PER_SEC = 20.0
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 WARMUP = 4
-ITERS = int(os.environ.get("BENCH_ITERS", "30"))
+ITERS = int(os.environ.get("BENCH_ITERS", "150"))
 CROP = 256
 
 
