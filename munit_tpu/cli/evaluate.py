@@ -101,9 +101,8 @@ def main(argv=None):
     s.add_argument("--seed", type=int, default=0)
     opts = p.parse_args(argv)
     if opts.cmd == "fid":
-        cmd_fid(opts)
-    else:
-        cmd_sweep(opts)
+        return cmd_fid(opts)
+    return cmd_sweep(opts)
 
 
 if __name__ == "__main__":

@@ -49,9 +49,39 @@ def get_synthetic_data_loader(file_list_a, file_list_b, mask_list, sem_list_a,
                       seed=seed, **shard)
 
 
+def _resized_shapes(paths, new_size):
+    """Post-shorter-side-resize (H, W) per image, from PIL headers only
+    (no pixel decode)."""
+    from PIL import Image
+    shapes = set()
+    for p in paths:
+        with Image.open(p) as im:
+            w, h = im.size
+        if w <= h:
+            shapes.add((round(h * new_size / w), new_size))
+        else:
+            shapes.add((new_size, round(w * new_size / h)))
+    return shapes
+
+
 def get_fid_data_loader(file_list_a, file_list_b, batch_size, train=False,
                         new_size=256, num_workers=4, seed=0, **shard):
     ds = FidPairDataset(file_list_a, file_list_b, new_size)
+    if batch_size > 1:
+        # The FID transform is shorter-side resize (reference
+        # utils.py:389-391), so mixed-aspect lists produce unstackable
+        # batches — the reference's torch DataLoader crashes there. Fall
+        # back to per-image batches for such lists (the inception protocol
+        # bilinearly resizes to 299² downstream, so per-image is exact).
+        from munit_tpu.data.datasets import read_filelist
+        mixed = (len(_resized_shapes(read_filelist(file_list_a), new_size)
+                     | _resized_shapes(read_filelist(file_list_b), new_size))
+                 > 1)
+        if mixed:
+            import sys
+            print("fid loader: mixed image shapes after resize — using "
+                  "batch_size=1", file=sys.stderr)
+            batch_size = 1
     return DataLoader(ds, batch_size, shuffle=False, num_workers=num_workers,
                       seed=seed, **shard)
 

@@ -104,29 +104,36 @@ class DataLoader:
             window = self._in_flight_window()
             stream = index_stream()
             exhausted = False
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                in_flight: "deque" = deque()
-                while not stop.is_set():
-                    while not exhausted and len(in_flight) < window:
-                        try:
-                            ep, i = next(stream)
-                        except StopIteration:
-                            exhausted = True
-                            break
-                        in_flight.append(pool.submit(self._load, ep, i))
-                    if len(in_flight) < self.batch_size:
-                        put_blocking(None)
-                        return
-                    samples = [in_flight.popleft().result()
-                               for _ in range(self.batch_size)]
-                    batch = {k: np.stack([smp[k] for smp in samples])
-                             for k in samples[0]
-                             if not isinstance(samples[0][k], str)}
-                    for k in samples[0]:
-                        if isinstance(samples[0][k], str):
-                            batch[k] = [smp[k] for smp in samples]
-                    if not put_blocking(batch):
-                        return
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    in_flight: "deque" = deque()
+                    while not stop.is_set():
+                        while not exhausted and len(in_flight) < window:
+                            try:
+                                ep, i = next(stream)
+                            except StopIteration:
+                                exhausted = True
+                                break
+                            in_flight.append(pool.submit(self._load, ep, i))
+                        if len(in_flight) < self.batch_size:
+                            put_blocking(None)
+                            return
+                        samples = [in_flight.popleft().result()
+                                   for _ in range(self.batch_size)]
+                        batch = {k: np.stack([smp[k] for smp in samples])
+                                 for k in samples[0]
+                                 if not isinstance(samples[0][k], str)}
+                        for k in samples[0]:
+                            if isinstance(samples[0][k], str):
+                                batch[k] = [smp[k] for smp in samples]
+                        if not put_blocking(batch):
+                            return
+            except BaseException as e:
+                # A dead producer must never leave the consumer blocked on
+                # out_q.get(): forward the error as an item (the consumer
+                # re-raises). Without this, a worker exception hangs the
+                # whole training/eval process silently.
+                put_blocking(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -135,6 +142,8 @@ class DataLoader:
                 item = out_q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -81,7 +81,13 @@ def compute_fid_from_pools(pool_fake: np.ndarray, mu_real, sigma_real,
     mu = jnp.mean(pool, axis=0)
     sigma = cov(pool)
     if use_jax:
-        return frechet_distance(mu, sigma, mu_real, sigma_real)
+        fid = frechet_distance(mu, sigma, mu_real, sigma_real)
+        if np.isfinite(fid):
+            return fid
+        # Newton-Schulz diverges on strongly rank-deficient covariance
+        # products (pool count ≪ 2048) — same failure mode the reference
+        # guards with its numpy path (inception_utils.py:145-203); fall
+        # back to the exact scipy sqrtm with eps jitter.
     return frechet_distance_scipy(np.asarray(mu), np.asarray(sigma),
                                   np.asarray(mu_real), np.asarray(sigma_real))
 

@@ -105,4 +105,8 @@ def test_fid_pipeline_end_to_end(tmp_path, ref_networks):
         pools.append(np.asarray(pool))
     pools = np.concatenate(pools)
     self_fid = compute_fid_from_pools(pools, m["mu"], m["sigma"])
-    assert abs(self_fid) < 1e-2, self_fid
+    # tolerance: with N=3 pools the covariances are rank-2 and the sqrtm is
+    # poorly conditioned, and the moments CLI pools run at batch 3 while
+    # this recompute runs at batch 1 (different f32 conv accumulation).
+    # Distinct image sets measure FID in the hundreds here; ~0.2 ≈ "same".
+    assert abs(self_fid) < 1.0, self_fid
