@@ -57,10 +57,11 @@ def _resized_shapes(paths, new_size):
     for p in paths:
         with Image.open(p) as im:
             w, h = im.size
+        # must mirror transforms.resize_shorter's rounding exactly
         if w <= h:
-            shapes.add((round(h * new_size / w), new_size))
+            shapes.add((max(1, round(h * new_size / w)), new_size))
         else:
-            shapes.add((new_size, round(w * new_size / h)))
+            shapes.add((new_size, max(1, round(w * new_size / h))))
     return shapes
 
 
