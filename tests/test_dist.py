@@ -118,11 +118,13 @@ def test_graft_dryrun_multichip():
     mod.dryrun_multichip(8)
 
 
-def test_spatial_mesh_full_train_step_parity():
+@pytest.mark.parametrize("spatial", [2, 4])
+def test_spatial_mesh_full_train_step_parity(spatial):
     """Full dis+gen step on a data×spatial mesh must match the unsharded
     step in the UPDATED PARAMS (not just finiteness) — reflect-pad and
     stride-2 conv halos under GSPMD are where silent divergence would hide
-    (VERDICT r1 weak #5 / next-round #7)."""
+    (VERDICT r1 weak #5 / next-round #7). spatial=4 leaves 8 rows per
+    shard against 3-wide stem halos."""
     batch = 4
     rng = np.random.RandomState(3)
     x_a = rng.randn(batch, CROP, CROP, 3).astype(np.float32) * 0.3
@@ -133,7 +135,7 @@ def test_spatial_mesh_full_train_step_parity():
     m1d = tr1.dis_update(jnp.asarray(x_a), jnp.asarray(x_b))
     m1g = tr1.gen_update(jnp.asarray(x_a), jnp.asarray(x_b))
 
-    mesh = make_mesh(spatial=2)
+    mesh = make_mesh(spatial=spatial)
     tr2 = MUNITTrainer(tiny_conf(batch), jax.random.PRNGKey(4))
     with mesh:
         tr2.state = replicate_state(mesh, tr2.state)
