@@ -216,3 +216,21 @@ def test_single_pass_moments_match_two_pass():
     # at the extreme mean/std = 50 stressed here that is ~0.3%. Model-level
     # pixel parity (realistic ratios) holds at 1e-4 (test_model_parity).
     np.testing.assert_allclose(np.asarray(v), v_ref, rtol=1e-2, atol=1e-6)
+
+
+@pytest.mark.parametrize("pad_type,torch_mode", [
+    ("reflect", "reflect"), ("replicate", "replicate")])
+def test_pad2d_grad_matches_torch(rng, pad_type, torch_mode):
+    """Independent truth for the strip-built pad backward: torch autograd
+    through F.pad (the reference's padding layers' actual gradient)."""
+    p = 2
+    x = rng.randn(2, 10, 12, 3).astype(np.float32)
+    ct = rng.randn(2, 14, 16, 3).astype(np.float32)
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2).requires_grad_(True)
+    tct = torch.from_numpy(ct).permute(0, 3, 1, 2)
+    F.pad(tx, (p, p, p, p), mode=torch_mode).backward(tct)
+    want = tx.grad.permute(0, 2, 3, 1).numpy()
+    got = np.asarray(jax.grad(
+        lambda x_: jnp.sum(ops.pad2d(x_, p, pad_type) * jnp.asarray(ct)))(
+        jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
