@@ -140,7 +140,12 @@ def main(argv=None):
     def take(loader):
         imgs = [loader.dataset.get(i, np.random.default_rng(i))["image"]
                 for i in range(min(display, len(loader.dataset)))]
-        return jnp.asarray(np.stack(imgs))
+        x = np.stack(imgs)
+        if x.dtype == np.uint8:
+            # uint8-mode loaders (MUNIT_LOADER_UINT8=1) are normalized in
+            # device_prefetch; display batches bypass it, so normalize here.
+            x = x.astype(np.float32) / 255.0 * 2.0 - 1.0
+        return jnp.asarray(x)
     tloaders = get_all_data_loaders(conf, seed=opts.seed)
     display_batches = tuple(take(l) for l in tloaders)
 

@@ -74,10 +74,13 @@ def get_fid_data_loader(file_list_a, file_list_b, batch_size, train=False,
         # batches — the reference's torch DataLoader crashes there. Fall
         # back to per-image batches for such lists (the inception protocol
         # bilinearly resizes to 299² downstream, so per-image is exact).
+        # image_a and image_b stack as SEPARATE batch keys, so each list only
+        # needs to be internally uniform — different aspect ratios between
+        # the two lists are fine.
         from munit_tpu.data.datasets import read_filelist
-        mixed = (len(_resized_shapes(read_filelist(file_list_a), new_size)
-                     | _resized_shapes(read_filelist(file_list_b), new_size))
-                 > 1)
+        mixed = (len(_resized_shapes(read_filelist(file_list_a), new_size)) > 1
+                 or len(_resized_shapes(read_filelist(file_list_b),
+                                        new_size)) > 1)
         if mixed:
             import sys
             print("fid loader: mixed image shapes after resize — using "

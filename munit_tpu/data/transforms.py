@@ -21,8 +21,10 @@ from PIL import Image
 _SEM_VALUE_TABLE = {0: 0, 29: 1, 55: 2, 76: 3, 133: 4, 149: 5, 178: 6,
                     200: 7, 255: 8}
 _SEM_LUT = np.arange(256, dtype=np.uint8)
+_SEM_VALID = np.zeros(256, dtype=bool)
 for _v, _c in _SEM_VALUE_TABLE.items():
     _SEM_LUT[_v] = _c
+    _SEM_VALID[_v] = True
 
 
 def resize_shorter(img: Image.Image, size: int,
@@ -82,8 +84,19 @@ def mask_to_array(mask) -> np.ndarray:
 
 
 def semantic_to_classes(sem: Image.Image) -> np.ndarray:
-    """Grayscale semantic PNG → int32 HW class map via the value table."""
+    """Grayscale semantic PNG → int32 HW class map via the value table.
+
+    Unmapped gray values fail loudly here: the reference's ``mapping``
+    (utils.py:1356-1366) passes them through unchanged, where torch's
+    F.cross_entropy would device-assert; our one-hot CE rewrite would
+    instead silently contribute zero loss, hiding corrupt PNGs."""
     arr = np.asarray(sem.convert("L"), dtype=np.uint8)
+    bad = ~_SEM_VALID[arr]
+    if bad.any():
+        vals = np.unique(arr[bad])
+        raise ValueError(
+            f"semantic PNG contains unmapped gray values {vals.tolist()}; "
+            f"expected one of {sorted(_SEM_VALUE_TABLE)}")
     return _SEM_LUT[arr].astype(np.int32)
 
 

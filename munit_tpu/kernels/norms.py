@@ -53,8 +53,12 @@ def _budget() -> int:
 
 
 def pallas_available() -> bool:
+    # Default OFF, matching bench.py: both measured kernel designs lose to
+    # XLA's fused norms on TPU (BENCH.md negative results), so production
+    # behavior and the shipped benchmark agree. MUNIT_PALLAS=1 opts in for
+    # A/B runs.
     import os
-    if os.environ.get("MUNIT_PALLAS", "1") != "1":
+    if os.environ.get("MUNIT_PALLAS", "0") != "1":
         return False
     if not _HAS_PALLAS:
         return False
