@@ -180,14 +180,29 @@ def device_prefetch(iterator, size: int = 2, sharding=None,
             return _norm_mask(v)
         return v
 
+    # Multi-host (jax.process_count() > 1): per-host loader shards must be
+    # assembled into GLOBAL arrays — plain device_put cannot build them
+    # (SURVEY §5.8d). MUNIT_FORCE_GLOBAL_BATCH=1 forces the assembly path
+    # for single-process tests of the multi-host plumbing.
+    import os as _os
+    multiproc = sharding is not None and (
+        jax.process_count() > 1
+        or _os.environ.get("MUNIT_FORCE_GLOBAL_BATCH", "0") == "1")
+    if multiproc:
+        from munit_tpu.dist.mesh import make_global_array
+
     def to_device(batch):
         out = {}
         for k, v in batch.items():
             if not isinstance(v, np.ndarray):
                 out[k] = v
                 continue
-            d = (jax.device_put(v, sharding) if sharding is not None
-                 else jax.device_put(v))
+            if multiproc:
+                d = make_global_array(sharding, v)
+            elif sharding is not None:
+                d = jax.device_put(v, sharding)
+            else:
+                d = jax.device_put(v)
             out[k] = postprocess(k, d)
         return out
 

@@ -61,8 +61,19 @@ def unreplicate(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
-def make_global_batch(mesh: Mesh, local_batch):
-    """Multi-host: assemble per-process local shards into global arrays."""
-    sh = data_sharding(mesh)
-    return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(sh, x), local_batch)
+def make_global_array(sharding: NamedSharding, x):
+    """Multi-host: assemble this process's local shard into a global array.
+
+    With ``jax.process_count() == 1`` this is equivalent to
+    ``jax.device_put(x, sharding)``; with more processes it builds the
+    global array the jitted step expects from per-host loader shards
+    (``DataLoader(shard_index=process_index, shard_count=process_count)``),
+    which plain ``device_put`` cannot do."""
+    return jax.make_array_from_process_local_data(sharding, x)
+
+
+def make_global_batch(mesh, local_batch):
+    """Multi-host: assemble per-process local shards into global arrays.
+    ``mesh`` may be a Mesh or a ready NamedSharding."""
+    sh = mesh if isinstance(mesh, NamedSharding) else data_sharding(mesh)
+    return jax.tree.map(lambda x: make_global_array(sh, x), local_batch)

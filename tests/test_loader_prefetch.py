@@ -31,6 +31,36 @@ def test_prefetch_sharded_placement():
     np.testing.assert_allclose(np.asarray(x), 0.0)
 
 
+def test_prefetch_multihost_assembly_path(monkeypatch):
+    """SURVEY §5.8(d): when jax.process_count() > 1 the prefetcher must
+    assemble per-host loader shards into GLOBAL arrays via
+    make_global_array (plain device_put cannot). Forced on here
+    (MUNIT_FORCE_GLOBAL_BATCH=1) in a single process, where the assembly
+    must be exactly equivalent to device_put with the same sharding."""
+    monkeypatch.setenv("MUNIT_FORCE_GLOBAL_BATCH", "1")
+    mesh = make_mesh()
+    sh = data_sharding(mesh)
+    out = list(device_prefetch(batches(3), size=2, sharding=sh))
+    assert len(out) == 3
+    for i, b in enumerate(out):
+        assert b["x"].sharding == sh
+        assert b["x"].shape == (8, 4)
+        np.testing.assert_allclose(np.asarray(b["x"]), i)
+        assert b["name"] == [f"b{i}"]   # non-arrays pass through
+
+
+def test_make_global_batch_matches_device_put():
+    from munit_tpu.dist.mesh import make_global_batch
+    mesh = make_mesh()
+    sh = data_sharding(mesh)
+    batch = {"x": np.arange(32, dtype=np.float32).reshape(8, 4),
+             "m": np.ones((8, 2, 2, 1), np.float32)}
+    g = make_global_batch(mesh, batch)
+    for k in batch:
+        assert g[k].sharding.is_equivalent_to(sh, batch[k].ndim)
+        np.testing.assert_array_equal(np.asarray(g[k]), batch[k])
+
+
 def test_loader_worker_exception_propagates():
     """A dataset error in the producer must raise in the consumer, not
     leave it blocked forever on the prefetch queue (the r2 FID-pipeline
