@@ -57,6 +57,22 @@ def build_loaders(conf, seed=0, **shard):
             conf["data_list_fid_a"], conf["data_list_fid_b"],
             max(conf["batch_size_fid"], 1), new_size=conf["new_size"],
             num_workers=conf["num_workers"])
+        # In-training FID (reference train.py:119-130 prepared this and
+        # never called it; our loop's hook at train/loop.py snapshot time is
+        # live when this metric fn is attached). Needs converted InceptionV3
+        # variables — path via conf["inception_ckpt_path"].
+        ckpt = conf.get("inception_ckpt_path")
+        if ckpt and os.path.exists(str(ckpt)):
+            import pickle
+            from munit_tpu.eval.fid import prepare_inception_metrics
+            with open(str(ckpt), "rb") as f:
+                variables = pickle.load(f)
+            loaders["fid_metrics"] = prepare_inception_metrics(
+                conf["inception_moment_path"], variables,
+                use_jax=jax.default_backend() != "cpu")
+        else:
+            print("WARNING: eval_fid > 0 but inception_ckpt_path missing — "
+                  "in-training FID disabled")
     return loaders
 
 

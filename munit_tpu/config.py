@@ -54,6 +54,7 @@ _DEFAULTS: Dict[str, Any] = {
     "batch_size_fid": 1,
     "eval_fid": 0,
     "inception_moment_path": None,
+    "inception_ckpt_path": None,   # converted InceptionV3 vars (pickle)
     "semantic_ckpt_path": None,
     "class_ckpt_path": None,
     "vgg_model_path": None,

@@ -105,9 +105,12 @@ def accumulate_activations(sample_fn: Callable, pool_fn: Callable,
 
 
 def prepare_inception_metrics(inception_moment_path: str,
-                              inception_variables) -> Callable:
+                              inception_variables,
+                              use_jax: bool = True) -> Callable:
     """Reference protocol (inception_utils.py:258-308): returns
-    get_inception_metrics(trainer, fid_loader) → FID."""
+    get_inception_metrics(trainer, fid_loader) → FID. ``use_jax=False``
+    selects the exact scipy sqrtm path (cheaper than 400 NS iterations on
+    CPU hosts — tests)."""
     from munit_tpu.eval.inception import InceptionV3, inception_preprocess
     moments = np.load(inception_moment_path)
     data_mu, data_sigma = moments["mu"], moments["sigma"]
@@ -118,7 +121,7 @@ def prepare_inception_metrics(inception_moment_path: str,
         pool, _ = net.apply(inception_variables, inception_preprocess(img_pm1))
         return pool
 
-    def get_inception_metrics(trainer, fid_loader, use_jax=True):
+    def get_inception_metrics(trainer, fid_loader, use_jax=use_jax):
         pool = accumulate_activations(trainer.sample_fid, pool_fn,
                                       fid_loader.batches())
         return compute_fid_from_pools(pool, data_mu, data_sigma, use_jax)

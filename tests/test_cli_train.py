@@ -75,6 +75,61 @@ def test_cli_train_end_to_end(workspace):
     assert latest_step(str(outdir / "checkpoints")) == 2
 
 
+def test_cli_train_in_training_fid(workspace, tmp_path):
+    """VERDICT r2 #3: the in-training FID hook (reference train.py:119-130,
+    prepared-but-never-called there) must be LIVE in the shipped CLI — a
+    short run with random inception weights logs a finite FID at the
+    snapshot step."""
+    import pickle
+    import json
+    import jax.numpy as jnp
+    from munit_tpu.eval.inception import InceptionV3
+
+    ws, cpath = workspace
+    conf = yaml.safe_load(open(cpath))
+
+    # fid pair lists (reuse the test images)
+    lists_a = [l for l in open(conf["data_list_test_a"]).read().splitlines()]
+    lists_b = [l for l in open(conf["data_list_test_b"]).read().splitlines()]
+    fid_list = tmp_path / "fid_pairs.txt"
+    fid_list.write_text("\n".join(f"{a} {b}" for a, b
+                                  in zip(lists_a, lists_b)))
+
+    # random-weight InceptionV3 variables + random (PSD) real moments
+    net = InceptionV3()
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 299, 299, 3)))
+    ckpt = tmp_path / "inception.pkl"
+    with open(ckpt, "wb") as f:
+        pickle.dump(jax.tree.map(np.asarray, variables), f)
+    rng = np.random.RandomState(3)
+    a = rng.randn(2048, 64).astype(np.float64)
+    moments = tmp_path / "moments.npz"
+    np.savez(moments, mu=rng.randn(2048), sigma=a @ a.T / 64)
+
+    conf.update({
+        "max_iter": 2, "snapshot_save_iter": 2, "image_save_iter": 10,
+        "image_display_iter": 10, "semantic_w": 0,
+        "eval_fid": 1, "batch_size_fid": 2,
+        "data_list_fid_a": str(fid_list), "data_list_fid_b": str(fid_list),
+        "inception_moment_path": str(moments),
+        "inception_ckpt_path": str(ckpt),
+    })
+    cpath2 = tmp_path / "tiny_fid.yaml"
+    cpath2.write_text(yaml.safe_dump(conf))
+
+    from munit_tpu.cli.train import main
+    main(["--config", str(cpath2), "--output_path", str(tmp_path / "runf")])
+
+    outdir = tmp_path / "runf" / "outputs" / "tiny_fid"
+    fids = [json.loads(l) for l in
+            open(outdir / "metrics.jsonl").read().splitlines()
+            if "FID" in json.loads(l)]
+    assert fids, "no FID metric logged at the snapshot step"
+    assert fids[-1]["step"] == 2
+    assert np.isfinite(fids[-1]["FID"])
+
+
 def test_remat_decode_trains():
     from munit_tpu.config import validate
     from munit_tpu.train import MUNITTrainer
