@@ -677,6 +677,52 @@ class MUNITTrainer:
         state["rng"] = rng
         return state, {**m_dis, **m_gen}
 
+    def dis_gen_grads(self, x_a, x_b, mask_a=None, mask_b=None):
+        """Pre-optimizer gradients of one fused dis+gen step — no state
+        change. Parity/debug surface: sharded-vs-unsharded comparison of
+        these trees is exact to float-summation tolerance, with no Adam
+        m/√v normalization to amplify ~0 gradients into ±lr sign flips, so
+        spatial-halo errors below 2·lr cannot hide behind the optimizer.
+        Both losses are taken against the CURRENT discriminators (the real
+        step updates D first; irrelevant for sharding parity). Guided mode
+        only."""
+        assert self.guided == 1, "dis_gen_grads supports guided mode only"
+        z_img = jnp.zeros_like(x_a[..., :1])
+        mask_a = mask_a if mask_a is not None else z_img
+        mask_b = mask_b if mask_b is not None else z_img
+        use_cyc = self.hw["recon_x_cyc_w"] > 0
+
+        def run(state, x_a, x_b, mask_a, mask_b):
+            bsz = x_a.shape[0]
+            rng_mid, _, _ = jax.random.split(state["rng"], 3)
+            _, g1, g2 = jax.random.split(rng_mid, 3)
+            s_a_g = jax.random.normal(g1, (bsz, self.style_dim), x_a.dtype)
+            s_b_g = jax.random.normal(g2, (bsz, self.style_dim), x_b.dtype)
+            sem_tgt_a = sem_tgt_b = None
+            if self.semantic_w:
+                z_sem = jnp.zeros(x_a.shape[:3], jnp.int32)
+                sem_tgt_a, sem_tgt_b = self._semantic_targets(
+                    x_a, x_b, z_sem, z_sem, False)
+            fw, pullback = jax.vjp(
+                lambda p: self._gen_forward(p, x_a, x_b, s_a_g, s_b_g,
+                                            use_cyc), state["gen"])
+            sg = jax.lax.stop_gradient
+            dis_params = {"a": state["dis_a"], "b": state["dis_b"]}
+            grads_d, _ = jax.grad(self._dis_loss, has_aux=True)(
+                dis_params, sg(fw["x_ba"]), sg(fw["x_ab"]), x_a, x_b)
+
+            def gen_loss(fw_):
+                return self._gen_loss_from_fw(
+                    fw_, state, dis_params["a"], dis_params["b"], x_a, x_b,
+                    mask_a, mask_b, s_a_g, s_b_g, sem_tgt_a, sem_tgt_b,
+                    False, False, use_cyc)
+
+            fw_bar, _ = jax.grad(gen_loss, has_aux=True)(fw)
+            (gen_grads,) = pullback(fw_bar)
+            return grads_d, gen_grads
+
+        return jax.jit(run)(self.state, x_a, x_b, mask_a, mask_b)
+
     def _gen_step_impl(self, state, x_a, x_b, mask_a, mask_b, sem_gt_a,
                        sem_gt_b, lr, extrapolate, synth: bool,
                        has_sem_gt: bool):
