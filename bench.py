@@ -1,8 +1,13 @@
 """Benchmark: 256x256 MUNIT training throughput (images/sec/chip).
 
-Measures the full config_256.yaml loss set (dis update every iteration +
-gen update every ratio_disc_gen=5, incl. masked cycle + semantic loss against
-the frozen ResNet34-8s segmenter) on one chip, steady-state.
+Measures the full shipped config_256.yaml workload (reference
+configs/config_256.yaml) on one chip, steady-state:
+- dis update every iteration; gen update every ratio_disc_gen=5 with masked
+  cycle + semantic loss against the frozen ResNet34-8s segmenter;
+- the sim/real feature-classifier fool term in every gen step
+  (adaptation.adv_lambda=6 — trainer.py:521-536);
+- the sim/real classifier update every adaptation.classif_frequency=15
+  iterations (dfeat_lambda=1 — train.py:192-204).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -52,6 +57,9 @@ def main():
         "gen_state": 1, "guided": 1, "semantic_w": 3, "recon_mask": 1,
         "batch_size": BATCH, "ratio_disc_gen": 5,
         "new_size": CROP, "crop_image_height": CROP, "crop_image_width": CROP,
+        # the shipped adaptation block (configs/config_256.yaml:36-38)
+        "adaptation": {"adv_lambda": 6, "dfeat_lambda": 1,
+                       "classif_frequency": 15},
     })
 
     from munit_tpu.core import ops
@@ -75,13 +83,20 @@ def main():
     mask = jnp.asarray((rng.rand(BATCH, CROP, CROP, 1) > 0.5)
                        .astype(np.float32))
 
+    ad = conf["adaptation"]
+
     def one_iter(it):
         tr.iterations = it
         if (it + 1) % conf["ratio_disc_gen"] == 0 and tr.fused:
-            return tr.dis_gen_update(x_a, x_b, mask, mask)
-        m = tr.dis_update(x_a, x_b)
-        if (it + 1) % conf["ratio_disc_gen"] == 0:
-            m = tr.gen_update(x_a, x_b, mask, mask)
+            m = tr.dis_gen_update(x_a, x_b, mask, mask)
+        else:
+            m = tr.dis_update(x_a, x_b)
+            if (it + 1) % conf["ratio_disc_gen"] == 0:
+                m = tr.gen_update(x_a, x_b, mask, mask)
+        # train.py:192-204: sr feature-classifier update every 15 iterations
+        if tr.use_classifier_sr and (it + 1) % ad["classif_frequency"] == 0:
+            m = dict(m, **tr.domain_classifier_sr_update(
+                x_a, x_b, domain_synth=False, lamb=ad["dfeat_lambda"]))
         return m
 
     def sync(m):
@@ -97,7 +112,12 @@ def main():
     t0 = time.time()
     m = one_iter(conf["ratio_disc_gen"] - 1)
     sync(m)
-    log(f"bench: gen step ready in {time.time() - t0:.1f}s; warmup...")
+    log(f"bench: gen step ready in {time.time() - t0:.1f}s; "
+        "compiling classifier_sr step...")
+    t0 = time.time()
+    m = one_iter(ad["classif_frequency"] - 1)
+    sync(m)
+    log(f"bench: classifier_sr ready in {time.time() - t0:.1f}s; warmup...")
 
     for it in range(WARMUP):
         m = one_iter(it)

@@ -234,12 +234,20 @@ def s2d_rescue_factor(h: int, w: int, k: int, cin: int, cout: int,
 
 def conv2d_s2d(x: jax.Array, kernel: jax.Array,
                bias: jax.Array | None = None, f: int = 4,
-               pad: int | None = None, pad_type: str = "reflect") -> jax.Array:
+               pad: int | None = None, pad_type: str = "reflect",
+               pre=None) -> jax.Array:
     """Stride-1 odd-kernel conv computed on an f×f space-to-depth grid.
 
     Exactly equivalent to ``conv2d(pad2d(x, (k-1)//2, pad_type), kernel)``.
     x: NHWC (unpadded); kernel: [k, k, cin, cout]. H, W must be divisible
     by f.
+
+    ``pre``: optional elementwise function applied to the space-to-depth
+    slab right before the conv — the hook for cross-layer norm fusion
+    (whole-tensor LN is permutation-invariant, so its normalize can run in
+    s2d space where the layout is conv-friendly; see whole_ln_stats_s2d).
+    The far-side zero rows pass through ``pre`` too, which is safe: no
+    nonzero rearranged-kernel tap ever reads them.
     """
     k = kernel.shape[0]
     cin, cout = kernel.shape[2], kernel.shape[3]
@@ -251,6 +259,8 @@ def conv2d_s2d(x: jax.Array, kernel: jax.Array,
         # far-side zeros; never touched by a nonzero kernel tap (u >= k)
         xp = jnp.pad(xp, ((0, 0), (0, e), (0, e), (0, 0)))
     xs = space_to_depth(xp, f)
+    if pre is not None:
+        xs = pre(xs)
     s = jnp.asarray(_s2d_select(f, k), kernel.dtype)
     k2 = jnp.einsum("apru,bqsv,uvcn->abpqcrsn", s, s, kernel)
     span = s.shape[0]
@@ -325,6 +335,28 @@ def whole_layer_norm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     y = (xf - mean) / (std + eps)
     out = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
     return out.astype(x.dtype)
+
+
+def whole_ln_stats_s2d(y: jax.Array, f: int,
+                       eps: float = 1e-5) -> tuple:
+    """Per-sample whole-tensor LN statistics computed over a space-to-depth
+    VIEW of ``y`` (same elements, different arrangement — the statistics are
+    identical, but the reduce runs in the layout the s2d consumer forces on
+    this slab anyway, instead of the {3,0,2,1}-pinned full-tensor reduce the
+    direct whole_layer_norm suffers there; BENCH.md r2 whole-LN analysis).
+
+    Returns (mean, std+eps) broadcastable over NHWC, with the reference's
+    unbiased std + eps-on-std semantics (networks.py:851-878).
+    """
+    n = y.shape[1] * y.shape[2] * y.shape[3]
+    zf = space_to_depth(y, f).astype(jnp.float32)
+    s1 = jnp.sum(zf, axis=(1, 2, 3))
+    s2 = jnp.sum(zf * zf, axis=(1, 2, 3))
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    std = jnp.sqrt(var * (n / (n - 1)))
+    return (mean[:, None, None, None],
+            (std + eps)[:, None, None, None])
 
 
 def batch_norm_inference(x: jax.Array, mean: jax.Array, var: jax.Array,

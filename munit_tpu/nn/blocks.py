@@ -48,7 +48,14 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array,
                  adain_params: Optional[AdainPair] = None,
-                 update_sn: bool = False) -> jax.Array:
+                 update_sn: bool = False,
+                 raw_ln: bool = False,
+                 pre_s2d=None) -> jax.Array:
+        """``raw_ln``: norm=='ln' only — skip norm+act and return
+        (conv_out, ln_gamma, ln_beta) so a consumer can apply the LN fused
+        into its own input processing (Decoder LN×s2d fusion).
+        ``pre_s2d``: elementwise fn applied to the space-to-depth slab
+        before the conv on the s2d-rescued path (see ops.conv2d_s2d)."""
         in_dim = x.shape[-1]
         kshape = (self.kernel_size, self.kernel_size, in_dim, self.out_dim)
         kernel = self.param("kernel", self.kernel_init, kshape)
@@ -82,8 +89,10 @@ class ConvBlock(nn.Module):
                 # small-channel conv on a space-to-depth grid (exact; see
                 # ops.conv2d_s2d) — rescues the MXU-starved stem/output 7x7s
                 x = ops.conv2d_s2d(x, kernel, bias, f=f, pad=self.padding,
-                                   pad_type=self.pad_type)
+                                   pad_type=self.pad_type, pre=pre_s2d)
             else:
+                if pre_s2d is not None:
+                    raise ValueError("pre_s2d requires the s2d conv path")
                 x = ops.pad2d(x, self.padding, self.pad_type)
                 x = ops.conv2d(x, kernel, bias, self.stride)
 
@@ -97,6 +106,8 @@ class ConvBlock(nn.Module):
         elif self.norm == "ln":
             gamma = self.param("ln_gamma", init.uniform01, (self.out_dim,))
             beta = self.param("ln_beta", init.zeros, (self.out_dim,))
+            if raw_ln:
+                return x, gamma, beta
             x = ops.whole_layer_norm(x, gamma, beta)
         elif self.norm == "adain":
             assert adain_params is not None, "AdaIN ConvBlock needs (gamma, beta)"

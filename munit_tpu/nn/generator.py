@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Callable, List
 
 import jax
+import jax.numpy as jnp
 import flax.linen as nn
 
 from munit_tpu.core import ops, init
@@ -136,11 +137,42 @@ class Decoder(nn.Module):
         x = ResBlocks(self.n_res, dim, norm=self.res_norm, activ=self.activ,
                       pad_type=self.pad_type, kernel_init=self.kernel_init,
                       name="res")(x, pairs)
+        # Cross-layer LN×s2d fusion (opt-in MUNIT_LN_S2D=1): the last
+        # up-conv's whole-tensor LN is permutation-invariant, so its stats
+        # can be computed over a space-to-depth view and its normalize+act
+        # applied INSIDE the s2d out-conv's input processing — removing the
+        # {3,0,2,1}-layout-pinned full-tensor reduce (BENCH.md r2). Exact up
+        # to f32 summation order.
+        import os as _os
+        h_out = x.shape[1] * (2 ** self.n_upsample)
+        f_out = ops.s2d_rescue_factor(h_out, x.shape[2] * (2 ** self.n_upsample),
+                                      7, dim // (2 ** self.n_upsample),
+                                      self.output_dim, 1, 3)
+        fuse_tail = (_os.environ.get("MUNIT_LN_S2D", "0") == "1"
+                     and self.n_upsample > 0 and f_out > 1
+                     and self.activ in ("relu", "lrelu", "selu", "none"))
         for i in range(self.n_upsample):
             x = ops.upsample_nearest(x, 2)
-            x = ConvBlock(dim // 2, 5, 1, 2, norm="ln", activ=self.activ,
-                          pad_type=self.pad_type, kernel_init=self.kernel_init,
-                          name=f"up_{i}")(x)
+            up = ConvBlock(dim // 2, 5, 1, 2, norm="ln", activ=self.activ,
+                           pad_type=self.pad_type,
+                           kernel_init=self.kernel_init, name=f"up_{i}")
+            last = i == self.n_upsample - 1
+            if fuse_tail and last:
+                y, g, b = up(x, raw_ln=True)
+                mean, std_eps = ops.whole_ln_stats_s2d(y, f_out)
+                gs = jnp.tile(g.astype(jnp.float32), f_out * f_out)
+                bs = jnp.tile(b.astype(jnp.float32), f_out * f_out)
+                act = ops.activation(self.activ)
+
+                def pre(xs):
+                    xn = (xs.astype(jnp.float32) - mean) / std_eps * gs + bs
+                    return act(xn).astype(xs.dtype)
+
+                return ConvBlock(self.output_dim, 7, 1, 3, norm="none",
+                                 activ="tanh", pad_type=self.pad_type,
+                                 kernel_init=self.kernel_init,
+                                 name="out_conv")(y, pre_s2d=pre)
+            x = up(x)
             dim //= 2
         x = ConvBlock(self.output_dim, 7, 1, 3, norm="none", activ="tanh",
                       pad_type=self.pad_type, kernel_init=self.kernel_init,

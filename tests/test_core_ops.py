@@ -234,3 +234,64 @@ def test_pad2d_grad_matches_torch(rng, pad_type, torch_mode):
         lambda x_: jnp.sum(ops.pad2d(x_, p, pad_type) * jnp.asarray(ct)))(
         jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_whole_ln_stats_s2d_matches_direct():
+    """Per-sample whole-tensor LN stats over a space-to-depth VIEW are the
+    same elements reduced in a different order — must match the direct
+    reduce to f32 summation tolerance (unbiased std + eps-on-std
+    semantics, networks.py:851-878)."""
+    rng = np.random.RandomState(5)
+    y = jnp.asarray(rng.randn(3, 16, 16, 8) * 1.7 + 0.4, jnp.float32)
+    mean, std_eps = ops.whole_ln_stats_s2d(y, f=4)
+    yf = np.asarray(y, np.float64).reshape(3, -1)
+    m_ref = yf.mean(axis=1)
+    s_ref = yf.std(axis=1, ddof=1) + 1e-5
+    np.testing.assert_allclose(np.asarray(mean)[:, 0, 0, 0], m_ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(std_eps)[:, 0, 0, 0], s_ref,
+                               rtol=1e-5)
+
+
+def test_decoder_ln_s2d_fusion_exact(monkeypatch):
+    """MUNIT_LN_S2D=1 fuses the last up-conv's LN+act into the s2d
+    out-conv's input processing — outputs must match the unfused decoder
+    bit-for-bit up to f32 summation order."""
+    from munit_tpu.nn.generator import Decoder
+
+    rng = np.random.RandomState(6)
+    dec = Decoder(n_upsample=2, n_res=2, dim=32, output_dim=3,
+                  res_norm="adain", activ="relu", pad_type="reflect")
+    x = jnp.asarray(rng.randn(2, 16, 16, 32) * 0.5, jnp.float32)
+    ap = jnp.asarray(rng.randn(2, dec.num_adain_params) * 0.3, jnp.float32)
+
+    monkeypatch.setenv("MUNIT_LN_S2D", "0")
+    params = dec.init(jax.random.PRNGKey(0), x, ap)
+    ref = np.asarray(dec.apply(params, x, ap))
+
+    monkeypatch.setenv("MUNIT_LN_S2D", "1")
+    params_f = dec.init(jax.random.PRNGKey(0), x, ap)
+    chex = jax.tree_util.tree_structure(params_f)
+    assert chex == jax.tree_util.tree_structure(params), \
+        "fusion must not change the parameter tree"
+    got = np.asarray(dec.apply(params, x, ap))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=2e-5)
+
+    # gradients through the fused tail must match too (custom consumers
+    # of raw_ln + pre_s2d both sit on the autodiff path)
+    def loss(p, fused):
+        monkeypatch.setenv("MUNIT_LN_S2D", "1" if fused else "0")
+        return jnp.sum(dec.apply(p, x, ap) ** 2)
+
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    flat0 = jax.tree_util.tree_flatten_with_path(g0)[0]
+    flat1 = jax.tree_util.tree_flatten_with_path(g1)[0]
+    # tolerance scaled by the DOMINANT gradient: pre-LN bias grads are
+    # structurally ~0 (whole-tensor LN kills constant shifts) and purely
+    # noise there; a real VJP-wiring bug shows at the dominant scale
+    gmax = max(float(np.abs(np.asarray(a)).max()) for _, a in flat0)
+    for (k0, a), (k1, b) in zip(flat0, flat1):
+        assert k0 == k1
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-4 * max(1.0, gmax),
+            err_msg=jax.tree_util.keystr(k0))

@@ -109,6 +109,44 @@ def main():
     def block_v4b(t):
         return ln_s2d_tail(conv5(t), barrier=True)
 
+    # --- v5: bf16 slab through pad+s2d (v0-equal traffic), f32 stats ------
+    def ln_s2d_tail_bf16(y):
+        yh = y.astype(jnp.bfloat16)
+        zs = ops.space_to_depth(yh, f)
+        zf = zs.astype(jnp.float32)
+        s1 = jnp.sum(zf, axis=(1, 2, 3))
+        s2 = jnp.sum(zf * zf, axis=(1, 2, 3))
+        mean = (s1 / n)[:, None, None, None]
+        var = jnp.maximum(s2 / n - (s1 / n) ** 2, 0.0)
+        std = jnp.sqrt(var * (n / (n - 1)))[:, None, None, None]
+        k = kern7.shape[0]
+        p0 = (k - 1) // 2
+        xp = ops.pad2d(yh, p0, "reflect")
+        e = (-(h + 2 * p0)) % f
+        if e:
+            xp = jnp.pad(xp, ((0, 0), (0, e), (0, e), (0, 0)))
+        xs = ops.space_to_depth(xp, f)
+        xn = (xs.astype(jnp.float32) - mean) / (std + _EPS) \
+            * gamma_s2d + beta_s2d
+        xn = jnp.maximum(xn, 0.0).astype(jnp.bfloat16)
+        s = jnp.asarray(ops._s2d_select(f, k), kern7.dtype)
+        k2 = jnp.einsum("apru,bqsv,uvcn->abpqcrsn", s, s, kern7)
+        span = s.shape[0]
+        k2 = k2.reshape(span, span, f * f * c, f * f * 3)
+        y2 = ops.conv2d(xn, k2, None, 1)[:, :h // f, :w // f, :]
+        out = ops.depth_to_space(y2, f) + bias7
+        out = jnp.tanh(out)
+        return ops.conv2d(out, kern1, None, 1).astype(jnp.bfloat16)
+
+    def block_v5(t):
+        return ln_s2d_tail_bf16(conv5(t))
+
+    # --- control: no LN at all (bounds the attributable win) --------------
+    def block_nonorm(t):
+        y = conv5(t)
+        z = jnp.maximum(y * gamma + beta, 0.0)
+        return tail(z)
+
     def chain_time(name, block, k=K, reps=REPS):
         def loss(t):
             for _ in range(k):
@@ -129,6 +167,8 @@ def main():
     chain_time("v0 current whole_layer_norm", block_v0)
     chain_time("v4 s2d-space LN (stats via s2d view)", block_v4)
     chain_time("v4b + optimization_barrier on stats view", block_v4b)
+    chain_time("v5 bf16-slab s2d-space LN", block_v5)
+    chain_time("control: scale/shift only (no stats)", block_nonorm)
 
     g0 = np.asarray(jax.jit(jax.grad(
         lambda t: jnp.sum(block_v0(t).astype(jnp.float32) ** 2)))(x),
