@@ -67,7 +67,7 @@ def main():
         # production numerics: bf16 MXU multiplies, f32 accumulate/norms
         ops.set_conv_compute(jnp.bfloat16, jax.lax.Precision.DEFAULT)
     remat_env = os.environ.get("BENCH_REMAT", "")
-    remat = {"1": True, "pads": "pads"}.get(remat_env, None)
+    remat = {"1": True, "pads": "pads", "hd": "hd"}.get(remat_env, None)
     tr = MUNITTrainer(conf, jax.random.PRNGKey(0), dtype=jnp.float32,
                       remat=remat)
     tr.load_segmenter(tr.seg_model_def.init(

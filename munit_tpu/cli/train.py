@@ -83,6 +83,9 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--mesh", action="store_true",
                    help="data-parallel over all devices")
+    p.add_argument("--spatial", type=int, default=1,
+                   help="spatial (H) mesh axis size for HD activation "
+                   "sharding (implies --mesh); devices = data x spatial")
     p.add_argument("--time_steps", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--comet", action="store_true",
@@ -133,10 +136,12 @@ def main(argv=None):
                        conf["crop_image_height"], 3))))
 
     mesh = None
-    if opts.mesh:
+    if opts.mesh or opts.spatial > 1:
         from munit_tpu.dist import make_mesh
-        from munit_tpu.dist.mesh import replicate_state
-        mesh = make_mesh()
+        from munit_tpu.dist.mesh import check_spatial_extent, replicate_state
+        mesh = make_mesh(spatial=opts.spatial)
+        check_spatial_extent(mesh, conf["crop_image_height"],
+                             conf["gen"]["n_downsample"])
         trainer.state = replicate_state(mesh, trainer.state)
 
     start = 0

@@ -61,6 +61,34 @@ def unreplicate(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+def check_spatial_extent(mesh: Mesh, crop: int, n_downsample: int = 2,
+                         min_rows: int = 4) -> None:
+    """Refuse spatial meshes in the degenerate-shard regime.
+
+    XLA's SPMD partitioner (jax 0.9.0) miscompiles the backward of the
+    space-to-depth conv composition when a spatially-sharded stage drops to
+    ~2 rows per shard: kernel grads of the s2d conv and everything upstream
+    come out exactly DOUBLED, while loss values and input grads stay
+    correct — so Adam's scale invariance hides it from loss curves and
+    param-level checks (pinned repro:
+    tests/test_dist.py::test_xla_spmd_s2d_degenerate_shard_grad_bug).
+    Keeping every stage at >= ``min_rows`` rows per shard (measured: 4 is
+    clean, 2 is broken at the content resolution) stays out of the regime;
+    all production HD configs are far above it.
+    """
+    sp = mesh.shape.get("spatial", 1)
+    if sp <= 1:
+        return
+    content_rows = crop // (2 ** n_downsample) // sp
+    if content_rows < min_rows:
+        raise ValueError(
+            f"spatial={sp} leaves {content_rows} content rows per shard at "
+            f"crop {crop} (< {min_rows}): degenerate spatial shards trigger "
+            "an XLA SPMD miscompile that silently doubles generator "
+            "gradients (see dist.mesh.check_spatial_extent). Use a smaller "
+            "spatial axis or a larger crop.")
+
+
 def make_global_array(sharding: NamedSharding, x):
     """Multi-host: assemble this process's local shard into a global array.
 

@@ -58,6 +58,42 @@ def restore_checkpoint(ckpt_dir: str, template_state: Dict[str, Any],
     return state, int(step)
 
 
+class CheckpointWriter:
+    """Persistent manager with ASYNC I/O for the training loop.
+
+    ``save()`` snapshots the device arrays (a fast D2H copy) and returns;
+    serialization and disk writes run on orbax's background thread,
+    overlapping subsequent train steps instead of stalling the loop for the
+    full multi-second whole-state write (the one-shot ``save_checkpoint``
+    blocks — fine for CLIs/tests, not for the hot loop). Multi-host
+    coordination is orbax's (SURVEY §5.3). Call ``close()`` (or use as a
+    context manager) to drain pending writes."""
+
+    def __init__(self, ckpt_dir: str, keep: Optional[int] = None,
+                 async_io: bool = True):
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=keep, create=True,
+            enable_async_checkpointing=async_io)
+        self._mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir),
+                                          options=options)
+
+    def save(self, state: Dict[str, Any], step: int):
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def resume(trainer, ckpt_dir: str) -> int:
     """Reference-style resume (trainer.py:1337-1385): restore the latest
     snapshot into the trainer; returns the iteration to continue from."""

@@ -151,8 +151,14 @@ class Decoder(nn.Module):
         fuse_tail = (_os.environ.get("MUNIT_LN_S2D", "0") == "1"
                      and self.n_upsample > 0 and f_out > 1
                      and self.activ in ("relu", "lrelu", "selu", "none"))
+        from jax.ad_checkpoint import checkpoint_name
         for i in range(self.n_upsample):
-            x = ops.upsample_nearest(x, 2)
+            # "dec_up_in": the nearest-upsampled conv input is the largest
+            # decoder buffer held for the conv kernel-grad; under the "hd"
+            # remat policy it is recomputed in the backward (recompute ≈ a
+            # gather) instead of stored — the HD 512² batch-8 enabler.
+            # Inert tag without an enclosing jax.checkpoint.
+            x = checkpoint_name(ops.upsample_nearest(x, 2), "dec_up_in")
             up = ConvBlock(dim // 2, 5, 1, 2, norm="ln", activ=self.activ,
                            pad_type=self.pad_type,
                            kernel_init=self.kernel_init, name=f"up_{i}")
@@ -172,7 +178,7 @@ class Decoder(nn.Module):
                                  activ="tanh", pad_type=self.pad_type,
                                  kernel_init=self.kernel_init,
                                  name="out_conv")(y, pre_s2d=pre)
-            x = up(x)
+            x = checkpoint_name(up(x), "dec_up_act")
             dim //= 2
         x = ConvBlock(self.output_dim, 7, 1, 3, norm="none", activ="tanh",
                       pad_type=self.pad_type, kernel_init=self.kernel_init,

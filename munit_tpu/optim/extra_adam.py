@@ -68,13 +68,29 @@ def extra_adam_update(grads, state: ExtraAdamState, params, lr,
     bc2 = 1.0 - b2 ** count.astype(jnp.float32)
     step_size = lr * jnp.sqrt(bc2) / bc1
 
+    static_phase = isinstance(extrapolate, bool)
+
     def leaf(g, p, m, v, pc):
         if weight_decay:
             g = g + weight_decay * p
         m_new = b1 * m + (1.0 - b1) * g
         v_new = b2 * v + (1.0 - b2) * g * g
         u = -step_size * m_new / (jnp.sqrt(v_new) + eps)
-        # anchor: existing copy if one is pending, else current params
+        if static_phase:
+            # Python-bool phase (the trainer's even/odd parity is known at
+            # trace time): emit ONLY the taken branch. On the update phase
+            # new_pc is the input buffer unchanged, so with donated state
+            # XLA aliases it instead of rewriting a full params copy — the
+            # dual-path where() version measurably dominated the optimizer
+            # fusions (BENCH.md r3 static-phase row).
+            if extrapolate:
+                new_p = p + u
+                new_pc = jnp.where(state.has_copy, pc, p)
+            else:
+                new_p = jnp.where(state.has_copy, pc, p) + u
+                new_pc = pc
+            return new_p, m_new, v_new, new_pc
+        # traced-bool fallback (one compiled step serves both phases)
         anchor = jnp.where(state.has_copy, pc, p)
         new_p = jnp.where(extrapolate, p + u, anchor + u)
         new_pc = jnp.where(extrapolate, anchor, pc)
@@ -106,5 +122,5 @@ def adam(grads, state: ExtraAdamState, params, lr,
     """Plain Adam (torch.optim.Adam semantics, L2-in-grad weight decay) using
     the same state container so the trainer is optimizer-agnostic."""
     return extra_adam_update(grads, state, params, lr,
-                             extrapolate=jnp.zeros((), jnp.bool_),
+                             extrapolate=False,
                              b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)

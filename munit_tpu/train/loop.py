@@ -27,7 +27,6 @@ import jax
 import numpy as np
 
 from munit_tpu.eval.sample import write_2images
-from munit_tpu.io.checkpoint import save_checkpoint
 from munit_tpu.utils.logging import MetricLogger, Timer
 
 
@@ -66,6 +65,7 @@ def train_loop(trainer, conf, loaders, output_directory: str,
 
     pending = []
     flush_every = max(1, 100 // max(conf["log_iter"], 1))
+    ckpt_writer = None
     iterations = start_iteration
     while iterations < max_iter:
         ba = maybe_shard(next(it_a))
@@ -148,8 +148,15 @@ def train_loop(trainer, conf, loaders, output_directory: str,
                               "train_current", logger)
 
         if (iterations + 1) % conf["snapshot_save_iter"] == 0:
-            save_checkpoint(ckpt_dir, trainer.state, iterations + 1,
-                            keep=conf.get("snapshot_keep"))
+            # async: the D2H snapshot happens before save() returns; the
+            # disk write overlaps subsequent train steps (MUNIT_ASYNC_CKPT=0
+            # restores the blocking write)
+            if ckpt_writer is None:
+                from munit_tpu.io.checkpoint import CheckpointWriter
+                ckpt_writer = CheckpointWriter(
+                    ckpt_dir, keep=conf.get("snapshot_keep"),
+                    async_io=os.environ.get("MUNIT_ASYNC_CKPT", "1") == "1")
+            ckpt_writer.save(trainer.state, iterations + 1)
             # FID tracking (train.py:119-130 prepared this but never called
             # it — the hook is live here when eval_fid > 0 and the inception
             # metric fn was attached via loaders["fid_metrics"])
@@ -160,4 +167,6 @@ def train_loop(trainer, conf, loaders, output_directory: str,
         iterations += 1
     for step_, m_ in pending:
         logger.log_metrics(m_, step_)
+    if ckpt_writer is not None:
+        ckpt_writer.close()   # drain pending async checkpoint writes
     return iterations

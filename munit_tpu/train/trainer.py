@@ -62,12 +62,14 @@ def merge_class_matrix() -> np.ndarray:
 class GenBundle:
     """Uniform interface over gen_state 0 (two AdaINGen) and 1 (dual).
 
-    remat ∈ {False, "pads", True} (measured tradeoffs in BENCH.md):
+    remat ∈ {False, "pads", "hd", True} (measured tradeoffs in BENCH.md):
     - False (default): no remat — fastest at batch 8 (53.5 img/s @ 256²);
     - "pads": jax.checkpoint policy saving EVERYTHING except the
       ``conv_pad``-named padded conv inputs — those copies dominate
       train-step HBM at larger batches; recompute ≈ a pad. Lets batch 16 fit
       in v5e HBM at ~the same throughput;
+    - "hd": "pads" plus the decoder upsample-stage buffers (the largest
+      512² slabs) — the stage-wise policy that fits HD batch 8;
     - True: full rematerialization (save nothing) — for HD 512² crops
       (SURVEY.md §7 hard part 6)."""
 
@@ -78,6 +80,13 @@ class GenBundle:
         self.remat = remat
         self._pad_policy = jax.checkpoint_policies.save_any_names_but_these(
             "conv_pad")
+        # "hd": stage-wise policy for 512² crops — additionally drop the
+        # decoder upsample-stage buffers (the largest HD slabs; tagged in
+        # nn/generator.py Decoder). Everything else is stored, so the
+        # recompute is bounded to pads + nearest-upsample gathers + the two
+        # up convs per decode (VERDICT r2 #5).
+        self._hd_policy = jax.checkpoint_policies.save_any_names_but_these(
+            "conv_pad", "dec_up_in", "dec_up_act")
         kernel_init = winit.by_name(conf.get("init", "kaiming"))
         kwargs = dict(input_dim=conf["input_dim_a"], dim=g["dim"],
                       style_dim=g["style_dim"], n_downsample=g["n_downsample"],
@@ -122,6 +131,8 @@ class GenBundle:
             return jax.checkpoint(run)
         if self.remat == "pads":
             return jax.checkpoint(run, policy=self._pad_policy)
+        if self.remat == "hd":
+            return jax.checkpoint(run, policy=self._hd_policy)
         return run
 
     def style_encode(self, params: Params, x: jax.Array) -> jax.Array:
@@ -491,25 +502,34 @@ class MUNITTrainer:
         hw["output_adv_lambda"] = float(ad["output_adv_lambda"])
         self.hw = hw
 
+        # "extrapolate" is static: the ExtraAdam even/odd parity is known at
+        # dispatch time, and specializing the jit halves the optimizer-update
+        # math and lets XLA alias the untouched params_copy on update phases
+        # (BENCH.md r3). Two compiles per step, both persistent-cached.
         donate = dict(donate_argnums=(0,))
-        self._dis_step = jax.jit(self._dis_step_impl, **donate)
-        self._gen_step = jax.jit(self._gen_step_impl,
-                                 static_argnames=("synth", "has_sem_gt"),
-                                 **donate)
-        self._dis_gen_step = jax.jit(self._dis_gen_step_impl,
-                                     static_argnames=("synth", "has_sem_gt"),
-                                     **donate)
+        self._dis_step = jax.jit(self._dis_step_impl,
+                                 static_argnames=("extrapolate",), **donate)
+        self._gen_step = jax.jit(
+            self._gen_step_impl,
+            static_argnames=("synth", "has_sem_gt", "extrapolate"), **donate)
+        self._dis_gen_step = jax.jit(
+            self._dis_gen_step_impl,
+            static_argnames=("synth", "has_sem_gt", "extrapolate"), **donate)
         if self.domain_adv_w:
-            self._dann_step = jax.jit(self._dann_step_impl, **donate)
+            self._dann_step = jax.jit(self._dann_step_impl,
+                                      static_argnames=("extrapolate",),
+                                      **donate)
         if self.use_classifier_sr:
             self._classifier_sr_step = jax.jit(
                 self._classifier_sr_step_impl,
-                static_argnames=("domain_synth",), **donate)
+                static_argnames=("domain_synth", "extrapolate"), **donate)
         if self.use_output_classifier_sr:
             self._output_classifier_sr_step = jax.jit(
                 self._output_classifier_sr_step_impl, **donate)
         if self.train_seg:
-            self._seg_head_step = jax.jit(self._seg_head_step_impl, **donate)
+            self._seg_head_step = jax.jit(self._seg_head_step_impl,
+                                          static_argnames=("extrapolate",),
+                                          **donate)
 
     # --- discriminator -----------------------------------------------------
 
@@ -920,8 +940,12 @@ class MUNITTrainer:
 
     def _classifier_sr_step_impl(self, state, x_a, x_b, lamb, lr, extrapolate,
                                  domain_synth: bool):
-        c_a, _ = self.gen.encode(state["gen"], x_a, 1)
-        c_b, _ = self.gen.encode(state["gen"], x_b, 2)
+        # Only the content codes feed the classifier loss (the style-encode
+        # half of encode() is dead and DCE'd); content_encode_pair runs the
+        # two encoders as one chain (stacked under MUNIT_CLS_STACKED=1 A/B).
+        stacked = _os.environ.get("MUNIT_CLS_STACKED", "0") == "1"
+        c_a, c_b = self.gen.content_encode_pair(state["gen"], x_a, x_b,
+                                                stacked)
         c_a = jax.lax.stop_gradient(c_a)   # ≙ .detach() trainer.py:1258
         c_b = jax.lax.stop_gradient(c_b)
 
@@ -960,8 +984,7 @@ class MUNITTrainer:
         grads, loss = jax.grad(loss_fn, has_aux=True)(params)
         # plain .step() in the reference (trainer.py:1279) — no extrapolation
         new_params, new_opt = self._opt_update(
-            grads, state["output_classif_sr_opt"], params, lr,
-            jnp.zeros((), jnp.bool_))
+            grads, state["output_classif_sr_opt"], params, lr, False)
         state["output_classifier_sr_a"] = new_params["a"]
         state["output_classifier_sr_b"] = new_params["b"]
         state["output_classif_sr_opt"] = new_opt
@@ -1001,9 +1024,13 @@ class MUNITTrainer:
     # ------------------------------------------------------------- driving
 
     def _phase(self):
-        """ExtraAdam parity: even iteration → extrapolation (trainer.py:229)."""
-        extrap = self.use_extra and (self.iterations % 2 == 0)
-        return jnp.asarray(extrap, jnp.bool_)
+        """ExtraAdam parity: even iteration → extrapolation (trainer.py:229).
+
+        Returns a PYTHON bool: each step jit specializes on the phase
+        (static_argnames), so the compiled update emits only the taken
+        branch and, on update phases, aliases the untouched params_copy
+        instead of rewriting it (two compiles per step, both cached)."""
+        return bool(self.use_extra and (self.iterations % 2 == 0))
 
     def _lr(self):
         return jnp.asarray(self.lr_schedule(self.iterations), jnp.float32)

@@ -36,6 +36,19 @@ def test_mesh_axes():
     assert mesh.shape == {"data": 8, "spatial": 1}
 
 
+def test_spatial_extent_guard():
+    from munit_tpu.dist.mesh import check_spatial_extent
+    # 32² crop / 2 downsamples / spatial=4 → 2-row content shards: the
+    # degenerate regime of the XLA SPMD s2d-backward miscompile (see
+    # test_xla_spmd_s2d_degenerate_shard_grad_bug) must be refused
+    with pytest.raises(ValueError, match="doubles generator"):
+        check_spatial_extent(make_mesh(spatial=4), crop=32, n_downsample=2)
+    # clean regimes pass: spatial=2 at 32², and any production HD config
+    check_spatial_extent(make_mesh(spatial=2), crop=32, n_downsample=2)
+    check_spatial_extent(make_mesh(spatial=8), crop=512, n_downsample=2)
+    check_spatial_extent(make_mesh(), crop=32, n_downsample=2)
+
+
 def test_data_parallel_step_matches_single_device():
     batch = 8
     rng = np.random.RandomState(0)
@@ -116,6 +129,100 @@ def test_graft_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("spatial,s2d", [(2, "1"), (4, "0")])
+def test_spatial_mesh_gradient_parity(spatial, s2d, monkeypatch):
+    """Sharded-vs-unsharded parity of the PRE-OPTIMIZER gradient trees of
+    the fused dis+gen step, at float-summation tolerance. The param-level
+    test below needs an atol=2.5e-4 floor because Adam's m/√v normalizes
+    away gradient magnitude (a ~0-gradient element's first step is a ±lr
+    coin flip under epsilon reduce-order perturbations) — comparing raw
+    gradients removes that crutch, so a systematic spatial-halo error
+    below 2·lr can no longer hide (VERDICT r2 #8).
+
+    spatial=4 at this 32² crop runs with MUNIT_S2D=0: 2-row content shards
+    hit an XLA SPMD partitioner miscompile in the s2d conv backward that
+    DOUBLES every upstream kernel grad (invisible post-Adam — exactly the
+    bug class this test exists for). See
+    test_xla_spmd_s2d_degenerate_shard_grad_bug for the pinned repro and
+    dist.mesh.check_spatial_extent for the production guard."""
+    monkeypatch.setenv("MUNIT_S2D", s2d)
+    batch = 4
+    rng = np.random.RandomState(5)
+    x_a = rng.randn(batch, CROP, CROP, 3).astype(np.float32) * 0.3
+    x_b = rng.randn(batch, CROP, CROP, 3).astype(np.float32) * 0.3
+
+    tr1 = MUNITTrainer(tiny_conf(batch), jax.random.PRNGKey(6))
+    gd1, gg1 = tr1.dis_gen_grads(jnp.asarray(x_a), jnp.asarray(x_b))
+
+    mesh = make_mesh(spatial=spatial)
+    tr2 = MUNITTrainer(tiny_conf(batch), jax.random.PRNGKey(6))
+    with mesh:
+        tr2.state = replicate_state(mesh, tr2.state)
+        b = shard_batch(mesh, {"x_a": x_a, "x_b": x_b})
+        gd2, gg2 = tr2.dis_gen_grads(b["x_a"], b["x_b"])
+
+    for name, t1, t2 in (("dis", gd1, gd2), ("gen", gg1, gg2)):
+        flat1 = jax.tree_util.tree_flatten_with_path(t1)[0]
+        flat2 = jax.tree_util.tree_flatten_with_path(t2)[0]
+        assert len(flat1) == len(flat2)
+        for (kp1, a), (kp2, bb) in zip(flat1, flat2):
+            assert kp1 == kp2
+            a, bb = np.asarray(a), np.asarray(bb)
+            # Scale-aware per-leaf atol: shard-partial sums + psum reorder
+            # f32 summation, and cancellation-heavy reductions (bias grads
+            # sum thousands of ±terms) show up to ~3e-4 absolute wiggle on
+            # O(0.1) gradients. 2e-3·max|g| still catches any systematic
+            # halo/doubling error (those are O(|g|) across whole strips —
+            # e.g. the pinned s2d miscompile below is a 1.0x relative
+            # error) while staying orders tighter than the param-level
+            # test's Adam-imposed 2.5e-4 flat atol.
+            tol = 2e-3 * max(np.abs(a).max(), 1e-2)
+            np.testing.assert_allclose(
+                a, bb, rtol=1e-4, atol=tol,
+                err_msg=f"{name}:{jax.tree_util.keystr(kp1)}")
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="XLA GSPMD partitioner miscompile (jax 0.9.0): the backward of "
+    "the space-to-depth conv composition DOUBLES kernel grads of the s2d "
+    "conv and everything upstream of it when a spatially-sharded stage "
+    "degenerates to ~2 rows per shard. Loss values and dL/dx stay correct, "
+    "and Adam's scale invariance hides it from param-level tests. When an "
+    "XLA upgrade fixes this, the strict xfail XPASS-errors: then re-enable "
+    "s2d in the spatial=4 parity case above and drop the guard in "
+    "dist.mesh.check_spatial_extent.")
+def test_xla_spmd_s2d_degenerate_shard_grad_bug():
+    """Minimal pinned repro: stem s2d-f4 conv + mid 3x3 conv at 32², batch
+    sharded over data=2 and H over spatial=4 (2-row shards at the s2d
+    grid). Asserts the CORRECT behavior (ratio 1), which today fails with
+    dL/dstem = dL/dmid = exactly 2x (dL/dout of a downstream f=8 s2d conv
+    stays clean, as does everything with a direct stem)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from munit_tpu.core import ops
+
+    mesh = make_mesh(spatial=4)
+    sh = NamedSharding(mesh, P("data", "spatial"))
+    rng = np.random.RandomState(0)
+    x = rng.randn(8, CROP, CROP, 3).astype(np.float32)
+    params = {"stem": rng.randn(7, 7, 3, 16).astype(np.float32) * 0.05,
+              "mid": rng.randn(3, 3, 16, 16).astype(np.float32) * 0.05}
+
+    def loss(p, x):
+        y = ops.conv2d_s2d(x, p["stem"], f=4)
+        y = jnp.maximum(y, 0)
+        y = ops.conv2d(ops.pad2d(y, 1, "reflect"), p["mid"], None, 1)
+        return jnp.mean(y.astype(jnp.float32) ** 2)
+
+    g0 = jax.jit(jax.grad(loss))(params, jnp.asarray(x))
+    with mesh:
+        g1 = jax.jit(jax.grad(loss))(params, jax.device_put(x, sh))
+    for k in params:
+        a, b = np.asarray(g0[k]), np.asarray(g1[k])
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6,
+                                   err_msg=f"dL/d{k}")
 
 
 @pytest.mark.parametrize("spatial", [2, 4])

@@ -121,6 +121,29 @@ def test_consecutive_extrapolations_keep_first_anchor():
     assert not st.has_copy
 
 
+def test_static_phase_bitwise_matches_traced():
+    # The trainer passes `extrapolate` as a STATIC python bool (jit
+    # specializes per phase; the update-phase params_copy is aliased).
+    # Both code paths must produce bit-identical trajectories.
+    rng = np.random.RandomState(7)
+    p0 = {"w": jnp.asarray(rng.randn(5, 3), jnp.float32),
+          "b": jnp.asarray(rng.randn(4), jnp.float32)}
+    pj_s, st_s = p0, extra_adam_init(p0)
+    pj_t, st_t = p0, extra_adam_init(p0)
+    for it in range(6):
+        g = jax.tree.map(
+            lambda x: jnp.asarray(rng.randn(*x.shape), jnp.float32), p0)
+        phase = it % 2 == 0
+        pj_s, st_s = extra_adam_update(g, st_s, pj_s, 0.05, phase,
+                                       weight_decay=1e-4)
+        pj_t, st_t = extra_adam_update(g, st_t, pj_t, 0.05,
+                                       jnp.asarray(phase),
+                                       weight_decay=1e-4)
+        for a, b in zip(jax.tree.leaves((pj_s, st_s)),
+                        jax.tree.leaves((pj_t, st_t))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_step_lr_schedule():
     # Reference semantics: StepLR stepped at the START of every iteration, so
     # during iteration `it` it has been stepped it+1 times (train.py:172).

@@ -36,6 +36,10 @@ WARMUP = 10
 CROP = 256
 N_IMAGES = 64          # distinct source JPEGs per domain
 WORKERS = int(os.environ.get("BENCH_WORKERS", "8"))
+# device_prefetch queue depth — sweep this (VERDICT r2 #9) to show whether
+# deeper H2D pipelining converges e2e toward compute-only or the wire is
+# the irreducible residual at this host's H2D bandwidth.
+PREFETCH = int(os.environ.get("BENCH_PREFETCH", "2"))
 
 
 def log(msg):
@@ -94,8 +98,8 @@ def main():
         width=CROP, num_workers=WORKERS, seed=seed)
     act = jnp.bfloat16 if os.environ.get("BENCH_ACT_BF16", "1") == "1" \
         else jnp.float32
-    it_a = device_prefetch(mk(il_a, ml_a, 1), size=2, image_dtype=act)
-    it_b = device_prefetch(mk(il_b, ml_b, 2), size=2, image_dtype=act)
+    it_a = device_prefetch(mk(il_a, ml_a, 1), size=PREFETCH, image_dtype=act)
+    it_b = device_prefetch(mk(il_b, ml_b, 2), size=PREFETCH, image_dtype=act)
 
     def one_iter(it):
         tr.iterations = it
@@ -131,6 +135,7 @@ def main():
         "metric": "munit_256_train_images_per_sec_e2e",
         "value": round(images_per_sec, 2),
         "unit": "images/sec/chip",
+        "prefetch_depth": PREFETCH,
         "pipeline": (
             f"jpeg->flip/resize/crop->normalize ({WORKERS} threads) "
             f"->prefetch->H2D->train"

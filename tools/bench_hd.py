@@ -42,7 +42,7 @@ def main():
         "crop_image_width": CROP,
     })
     remat_env = os.environ.get("BENCH_REMAT", "")
-    remat = {"1": True, "pads": "pads", "0": False}.get(remat_env, None)
+    remat = {"1": True, "pads": "pads", "hd": "hd", "0": False}.get(remat_env, None)
     tr = MUNITTrainer(conf, jax.random.PRNGKey(0), remat=remat)
     tr.load_segmenter(tr.seg_model_def.init(
         jax.random.PRNGKey(1), jnp.zeros((1, CROP, CROP, 3))))

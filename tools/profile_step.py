@@ -29,6 +29,9 @@ def main():
         "gen_state": 1, "guided": 1, "semantic_w": 3, "recon_mask": 1,
         "batch_size": batch, "ratio_disc_gen": 5,
         "new_size": crop, "crop_image_height": crop, "crop_image_width": crop,
+        # match bench.py's TRUE shipped config_256 workload (adaptation block)
+        "adaptation": {"adv_lambda": 6, "dfeat_lambda": 1,
+                       "classif_frequency": 15},
     })
     tr = MUNITTrainer(conf, jax.random.PRNGKey(0))
     tr.load_segmenter(tr.seg_model_def.init(
