@@ -33,32 +33,63 @@ from jax import lax
 # ---------------------------------------------------------------------------
 
 
-def _pad_axis_bwd(g: jax.Array, p: int, axis: int, mode: str) -> jax.Array:
-    """Transpose of reflect/edge padding along one axis, strip-built.
+def _pad2d_fold_bwd(g: jax.Array, p: int, mode: str) -> jax.Array:
+    """Transpose of 2-D reflect/edge padding as ONE fused full-tensor pass.
 
-    XLA's native VJP for pad-by-concatenation emits a chain of
-    slice+add fusions that each rewrite the ENTIRE tensor to fold in a
-    p-wide border strip (~0.83 ms each on the train step's 16x262x262x64
-    slabs — BENCH.md r2 trace). Building the result from strips with ONE
-    concatenation per axis does the same math in a single full-tensor
-    write.
+    The r2 strip-built version folded the halo with one concatenation per
+    axis — two full-tensor writes, which XLA lowered to zero-init
+    broadcasts + dynamic-update-slice chains (~25 ms of the fused train
+    step at 256²/batch 8, r3 trace + HLO estimated-cycle model). Writing
+    the result instead as ``interior + Σ zero-padded flipped border
+    strips`` is a single elementwise expression XLA fuses into ONE kLoop
+    pass over the output: each element reads its direct source plus (near
+    the border only) the in-window strip terms. Same additions, one
+    full-tensor write instead of two, and no DUS/zero-init machinery.
     """
-    n = g.shape[axis] - 2 * p          # un-padded length
-    sl = lambda a, b: lax.slice_in_dim(g, a, b, axis=axis)
-    mid = sl(p, p + n)
+    n = g.shape[1] - 2 * p             # un-padded height
+    m = g.shape[2] - 2 * p             # un-padded width
+
+    def padz(t, ro, co):
+        """Zero-embed strip t into the (n, m) output at (ro, co)."""
+        cfg = ((0, 0, 0), (ro, n - ro - t.shape[1], 0),
+               (co, m - co - t.shape[2], 0), (0, 0, 0))
+        return lax.pad(t, jnp.zeros((), t.dtype), cfg)
+
+    out = g[:, p:p + n, p:p + m, :]
     if mode == "reflect":
-        # padded index j<p sources row p-j; j>=n+p sources 2n+p-2-j
-        top = jnp.flip(sl(0, p), axis)            # adds to rows 1..p
-        bot = jnp.flip(sl(n + p, n + 2 * p), axis)  # rows n-1-p..n-2
-        msl = lambda a, b: lax.slice_in_dim(mid, a, b, axis=axis)
-        parts = [msl(0, 1), msl(1, p + 1) + top, msl(p + 1, n - 1 - p),
-                 msl(n - 1 - p, n - 1) + bot, msl(n - 1, n)]
-    else:  # replicate: all p border rows source the edge row
-        top = jnp.sum(sl(0, p), axis=axis, keepdims=True)
-        bot = jnp.sum(sl(n + p, n + 2 * p), axis=axis, keepdims=True)
-        msl = lambda a, b: lax.slice_in_dim(mid, a, b, axis=axis)
-        parts = [msl(0, 1) + top, msl(1, n - 1), msl(n - 1, n) + bot]
-    return jnp.concatenate(parts, axis=axis)
+        # padded row r<p sources input row p-r (flip of the top band adds
+        # to rows 1..p); r>=n+p sources 2n+p-2-r (rows n-2..n-1-p); the
+        # corner blocks are double reflections into rows/cols 1..p etc.
+        fl = jnp.flip
+        top = fl(g[:, 0:p, p:p + m, :], 1)
+        bot = fl(g[:, n + p:n + 2 * p, p:p + m, :], 1)
+        left = fl(g[:, p:p + n, 0:p, :], 2)
+        right = fl(g[:, p:p + n, m + p:m + 2 * p, :], 2)
+        tl = fl(fl(g[:, 0:p, 0:p, :], 1), 2)
+        tr = fl(fl(g[:, 0:p, m + p:m + 2 * p, :], 1), 2)
+        bl = fl(fl(g[:, n + p:n + 2 * p, 0:p, :], 1), 2)
+        br = fl(fl(g[:, n + p:n + 2 * p, m + p:m + 2 * p, :], 1), 2)
+        return (out
+                + padz(top, 1, 0) + padz(bot, n - 1 - p, 0)
+                + padz(left, 0, 1) + padz(right, 0, m - 1 - p)
+                + padz(tl, 1, 1) + padz(tr, 1, m - 1 - p)
+                + padz(bl, n - 1 - p, 1) + padz(br, n - 1 - p, m - 1 - p))
+    # replicate: every border row/col sources the edge row/col
+    s1 = lambda t: jnp.sum(t.astype(jnp.float32), axis=1, keepdims=True)
+    s2 = lambda t: jnp.sum(t.astype(jnp.float32), axis=2, keepdims=True)
+    top = s1(g[:, 0:p, p:p + m, :]).astype(g.dtype)
+    bot = s1(g[:, n + p:n + 2 * p, p:p + m, :]).astype(g.dtype)
+    left = s2(g[:, p:p + n, 0:p, :]).astype(g.dtype)
+    right = s2(g[:, p:p + n, m + p:m + 2 * p, :]).astype(g.dtype)
+    tl = s1(s2(g[:, 0:p, 0:p, :])).astype(g.dtype)
+    tr = s1(s2(g[:, 0:p, m + p:m + 2 * p, :])).astype(g.dtype)
+    bl = s1(s2(g[:, n + p:n + 2 * p, 0:p, :])).astype(g.dtype)
+    br = s1(s2(g[:, n + p:n + 2 * p, m + p:m + 2 * p, :])).astype(g.dtype)
+    return (out
+            + padz(top, 0, 0) + padz(bot, n - 1, 0)
+            + padz(left, 0, 0) + padz(right, 0, m - 1)
+            + padz(tl, 0, 0) + padz(tr, 0, m - 1)
+            + padz(bl, n - 1, 0) + padz(br, n - 1, m - 1))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -72,9 +103,7 @@ def _pad2d_fwd(x, padding, mode):
 
 
 def _pad2d_bwd(padding, mode, _, g):
-    g = _pad_axis_bwd(g, padding, 1, mode)
-    g = _pad_axis_bwd(g, padding, 2, mode)
-    return (g,)
+    return (_pad2d_fold_bwd(g, padding, mode),)
 
 
 _pad2d_nonzero.defvjp(_pad2d_fwd, _pad2d_bwd)
@@ -85,9 +114,9 @@ def pad2d(x: jax.Array, padding: int, mode: str) -> jax.Array:
 
     mode: 'reflect' | 'replicate' | 'zero'  (networks.py:641-649)
 
-    reflect/replicate use a custom VJP (see ``_pad_axis_bwd``) whose
-    backward folds the border-strip gradients in one concatenation per
-    axis instead of XLA's full-tensor slice+add chain.
+    reflect/replicate use a custom VJP (see ``_pad2d_fold_bwd``) whose
+    backward folds the halo gradients in a single fused full-tensor pass
+    instead of XLA's per-axis slice+add / dynamic-update-slice chains.
 
     The result is tagged ``conv_pad`` (jax.ad_checkpoint.checkpoint_name):
     inert under plain autodiff, but inside a jax.checkpoint region with the
