@@ -116,7 +116,12 @@ def main(argv=None):
         params["git_hash"] = git_hash
     logger.log_parameters(params)
 
-    trainer = MUNITTrainer(conf, jax.random.PRNGKey(opts.seed))
+    # remat policy from the config: false/none | pads | hd | true/full
+    # (HD 512² batch 8 ships wide: 0 + remat: true — the measured single-chip
+    # fit, 20.3 img/s/chip; BENCH.md r3 HD table)
+    remat = {"pads": "pads", "hd": "hd", "true": True, "full": True,
+             "1": True}.get(str(conf.get("remat", "")).lower(), None)
+    trainer = MUNITTrainer(conf, jax.random.PRNGKey(opts.seed), remat=remat)
     if conf["semantic_w"] > 0 and conf.get("semantic_ckpt_path") and \
             os.path.exists(str(conf["semantic_ckpt_path"])):
         from munit_tpu.io import load_torch_checkpoint

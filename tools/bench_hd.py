@@ -55,6 +55,9 @@ def main():
 
     def one_iter(it):
         tr.iterations = it
+        # same cadence/protocol as bench.py: fused dis+gen on gen iterations
+        if (it + 1) % conf["ratio_disc_gen"] == 0 and tr.fused:
+            return tr.dis_gen_update(x_a, x_b, mask, mask)
         m = tr.dis_update(x_a, x_b)
         if (it + 1) % conf["ratio_disc_gen"] == 0:
             m = tr.gen_update(x_a, x_b, mask, mask)
