@@ -1,1 +1,2 @@
-from munit_tpu.serve.server import TranslationService, serve  # noqa: F401
+from munit_tpu.serve.server import (MicroBatcher, TranslationService,  # noqa: F401
+                                    serve)

@@ -9,8 +9,13 @@ flooded-image requests over HTTP (stdlib http.server — zero extra deps).
   python -m munit_tpu.serve.server --config configs/config_256.yaml \\
       --checkpoint gen.pt --style style.png --port 8787
 
+Concurrent requests are coalesced into one batched TPU dispatch by a
+dynamic micro-batcher (``MicroBatcher``): up to --max-batch requests per
+step, padded to power-of-two buckets so jit compiles a bounded shape set.
+
 API:
   GET  /healthz             → {"status": "ok", "device": ...}
+  GET  /stats               → micro-batcher counters (batch histogram, …)
   POST /translate           → JPEG bytes (body: image file bytes)
   POST /translate?style=ID  → use a named preloaded style
 """
@@ -21,8 +26,9 @@ import argparse
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 from PIL import Image
@@ -31,10 +37,119 @@ import jax
 import jax.numpy as jnp
 
 
+class MicroBatcher:
+    """Dynamic micro-batching for the translate dispatch.
+
+    The TPU runs one program at a time; per-request dispatch leaves the
+    MXU idle between HTTP arrivals and pays the full small-batch cost per
+    image. This coalesces concurrent requests into one batched dispatch:
+    the dispatcher thread drains up to ``max_batch`` queued requests
+    (waiting at most ``max_wait_ms`` after the first arrival — under
+    saturation the queue is never empty, so the wait never triggers and
+    batches auto-scale to ``max_batch``), pads the batch up to a
+    power-of-two bucket so jit compiles at most ``log2(max_batch)+1``
+    shapes, runs ONE device step, and fans results back out.
+
+    ``run_batch(x [B,H,W,3], s [B,...]) -> [B,H,W,3]`` must accept any
+    bucket batch size (the jitted translate does — encode/decode are
+    batch-polymorphic).
+    """
+
+    def __init__(self, run_batch, max_batch: int = 8,
+                 max_wait_ms: float = 4.0):
+        self.run_batch = run_batch
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self.buckets = []
+        b = 1
+        while b < max_batch:
+            self.buckets.append(b)
+            b *= 2
+        self.buckets.append(max_batch)
+        self._q: List[dict] = []
+        self._cv = threading.Condition()
+        self._closed = False
+        self.stats = {"requests": 0, "batches": 0,
+                      "batch_hist": {}, "device_ms": 0.0}
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="munit-microbatcher")
+        self._thread.start()
+
+    def submit(self, x: np.ndarray, s) -> np.ndarray:
+        """Block until the batched dispatch containing this request runs."""
+        item = {"x": x, "s": s, "ev": threading.Event(),
+                "out": None, "err": None}
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("batcher closed")
+            self._q.append(item)
+            self._cv.notify_all()
+        item["ev"].wait()
+        if item["err"] is not None:
+            raise item["err"]
+        return item["out"]
+
+    def close(self):
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+        self._thread.join(timeout=5)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.max_batch
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._q and not self._closed:
+                    self._cv.wait()
+                if self._closed and not self._q:
+                    return
+                deadline = time.monotonic() + self.max_wait
+                while (len(self._q) < self.max_batch and not self._closed):
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        break
+                    self._cv.wait(left)
+                batch = self._q[:self.max_batch]
+                del self._q[:len(batch)]
+            if not batch:
+                continue
+            n = len(batch)
+            b = self._bucket(n)
+            try:
+                x = np.concatenate([it["x"] for it in batch], axis=0)
+                s = jnp.concatenate([it["s"] for it in batch], axis=0)
+                if b > n:
+                    x = np.concatenate(
+                        [x, np.repeat(x[-1:], b - n, axis=0)], axis=0)
+                    s = jnp.concatenate(
+                        [s, jnp.repeat(s[-1:], b - n, axis=0)], axis=0)
+                t0 = time.monotonic()
+                y = np.asarray(self.run_batch(jnp.asarray(x), s))
+                dt = (time.monotonic() - t0) * 1e3
+                self.stats["requests"] += n
+                self.stats["batches"] += 1
+                self.stats["batch_hist"][n] = \
+                    self.stats["batch_hist"].get(n, 0) + 1
+                self.stats["device_ms"] += dt
+                for i, it in enumerate(batch):
+                    it["out"] = y[i:i + 1]
+                    it["ev"].set()
+            except Exception as e:  # noqa: BLE001 — fan the error out
+                for it in batch:
+                    it["err"] = e
+                    it["ev"].set()
+
+
 class TranslationService:
     """Owns the generator params, style codes, and the jitted step."""
 
-    def __init__(self, conf: Dict, gen_params, new_size: Optional[int] = None):
+    def __init__(self, conf: Dict, gen_params, new_size: Optional[int] = None,
+                 max_batch: int = 1, max_wait_ms: float = 4.0):
         from munit_tpu.train import GenBundle
         self.conf = conf
         self.gen = GenBundle(conf)
@@ -50,6 +165,10 @@ class TranslationService:
         self._translate = jax.jit(_translate)
         self._encode_style = jax.jit(
             lambda x: self.gen.encode(self.params, x, 2)[1])
+        self.batcher: Optional[MicroBatcher] = None
+        if max_batch > 1:
+            self.batcher = MicroBatcher(self._translate, max_batch,
+                                        max_wait_ms)
 
     def _prep(self, img: Image.Image) -> jax.Array:
         from munit_tpu.data import transforms as T
@@ -63,15 +182,24 @@ class TranslationService:
         self.styles[name] = self._encode_style(self._prep(exemplar))
 
     def warmup(self):
-        if self.styles:
-            x = jnp.zeros((1, self.new_size, self.new_size, 3))
-            _ = self._translate(x, next(iter(self.styles.values())))
+        if not self.styles:
+            return
+        s1 = next(iter(self.styles.values()))
+        sizes = self.batcher.buckets if self.batcher else [1]
+        for b in sizes:  # pre-compile every serving batch shape
+            x = jnp.zeros((b, self.new_size, self.new_size, 3))
+            s = jnp.concatenate([s1] * b, axis=0)
+            jax.block_until_ready(self._translate(x, s))
 
     def translate(self, img: Image.Image, style: str = "default") -> Image.Image:
         if style not in self.styles:
             raise KeyError(f"unknown style '{style}'")
-        with self._lock:  # single-accelerator; serialize device access
-            out = self._translate(self._prep(img), self.styles[style])
+        if self.batcher is not None:
+            out = self.batcher.submit(np.asarray(self._prep(img)),
+                                      self.styles[style])
+        else:
+            with self._lock:  # single-accelerator; serialize device access
+                out = self._translate(self._prep(img), self.styles[style])
         arr = np.asarray((out[0] + 1.0) * 0.5)
         lo, hi = arr.min(), arr.max()
         arr = (arr - lo) / max(hi - lo, 1e-5)
@@ -89,15 +217,25 @@ def _make_handler(service: TranslationService):
                     "status": "ok",
                     "device": str(jax.devices()[0]),
                     "styles": sorted(service.styles),
+                    "batching": service.batcher is not None,
                 }).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+            elif self.path.startswith("/stats"):
+                st = dict(service.batcher.stats) if service.batcher else {}
+                if st.get("batches"):
+                    st["mean_batch"] = round(
+                        st["requests"] / st["batches"], 3)
+                    st["mean_device_ms"] = round(
+                        st["device_ms"] / st["batches"], 3)
+                body = json.dumps(st).encode()
             else:
                 self.send_response(404)
                 self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
         def do_POST(self):
             if not self.path.startswith("/translate"):
@@ -143,12 +281,18 @@ def main(argv=None):
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--style", required=True, help="style exemplar image")
     p.add_argument("--port", type=int, default=8787)
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="micro-batcher cap (1 disables batching)")
+    p.add_argument("--max-wait-ms", type=float, default=4.0,
+                   help="max coalescing wait after the first request")
     opts = p.parse_args(argv)
 
     from munit_tpu.cli.translate import load_gen_params
     from munit_tpu.config import get_config
     conf = get_config(opts.config)
-    svc = TranslationService(conf, load_gen_params(opts.checkpoint, conf))
+    svc = TranslationService(conf, load_gen_params(opts.checkpoint, conf),
+                             max_batch=opts.max_batch,
+                             max_wait_ms=opts.max_wait_ms)
     svc.add_style("default", Image.open(opts.style))
     svc.warmup()
     server = serve(svc, opts.port)

@@ -17,7 +17,7 @@ from munit_tpu.train import GenBundle
 from tests import torch_mirror as tm
 
 
-def make_service():
+def make_service(max_batch=1, max_wait_ms=4.0):
     conf = validate({
         "gen_state": 1, "guided": 1, "new_size": 32,
         "crop_image_height": 32, "crop_image_width": 32,
@@ -33,7 +33,8 @@ def make_service():
 
     params = gen.module.init(jax.random.PRNGKey(0),
                              jnp.zeros((1, 32, 32, 3)), method=touch)["params"]
-    svc = TranslationService(conf, params)
+    svc = TranslationService(conf, params, max_batch=max_batch,
+                             max_wait_ms=max_wait_ms)
     rng = np.random.RandomState(0)
     svc.add_style("default",
                   Image.fromarray(rng.randint(0, 255, (40, 40, 3), np.uint8)))
@@ -47,6 +48,80 @@ def test_service_translate_direct():
     out = svc.translate(
         Image.fromarray(rng.randint(0, 255, (48, 52, 3), np.uint8)))
     assert out.size == (32, 32)
+
+
+def test_microbatcher_coalesces_and_matches_unbatched():
+    """Concurrent requests share device dispatches; per-sample outputs are
+    identical to the unbatched path (every norm in the net is per-sample)."""
+    svc1 = make_service(max_batch=1)
+    svcb = make_service(max_batch=4, max_wait_ms=40.0)
+    rng = np.random.RandomState(1)
+    imgs = [Image.fromarray(rng.randint(0, 255, (48, 52, 3), np.uint8))
+            for _ in range(8)]
+    singles = [svc1.translate(im) for im in imgs]
+
+    outs = [None] * len(imgs)
+
+    def worker(i):
+        outs[i] = svcb.translate(imgs[i])
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(imgs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    for got, want in zip(outs, singles):
+        a, b = np.asarray(got, np.int16), np.asarray(want, np.int16)
+        assert np.abs(a - b).max() <= 1  # one quantization step of slack
+
+    st = svcb.batcher.stats
+    assert st["requests"] == 8
+    assert st["batches"] < 8, f"no coalescing happened: {st}"
+    svcb.batcher.close()
+
+
+def test_microbatcher_pads_to_bucket_and_fans_out_errors():
+    from munit_tpu.serve import MicroBatcher
+
+    calls = []
+
+    def run(x, s):
+        calls.append(x.shape[0])
+        if float(np.max(np.asarray(x))) > 100:
+            raise ValueError("boom")
+        return np.asarray(x) * 2.0
+
+    mb = MicroBatcher(run, max_batch=4, max_wait_ms=30.0)
+    xs = [np.full((1, 2, 2, 3), i, np.float32) for i in range(3)]
+    outs = [None] * 3
+    errs = [None] * 3
+
+    def worker(i, style):
+        try:
+            outs[i] = mb.submit(xs[i], style)
+        except Exception as e:  # noqa: BLE001
+            errs[i] = e
+
+    s_ok = np.zeros((1, 4), np.float32)
+    ts = [threading.Thread(target=worker, args=(i, s_ok)) for i in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert all(e is None for e in errs)
+    for i in range(3):
+        assert np.array_equal(outs[i], xs[i] * 2.0)
+    assert all(c in (1, 2, 4) for c in calls)  # bucketed shapes only
+
+    # error fan-out: every waiter in the failing batch sees the exception
+    try:
+        mb.submit(np.full((1, 2, 2, 3), 999.0, np.float32), s_ok)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    mb.close()
 
 
 def test_http_round_trip():
