@@ -59,6 +59,19 @@ def cmd_export(opts):
     print(f"exported step {step} → {opts.out}")
 
 
+def cmd_pack(opts):
+    """orbax trainer state (or reference .pt) → compact bf16 serving .npz."""
+    import os
+    from munit_tpu.config import get_config
+    from munit_tpu.cli.translate import load_gen_params
+    from munit_tpu.io.checkpoint import save_inference_params
+
+    conf = get_config(opts.config)
+    params = load_gen_params(opts.ckpt, conf)
+    save_inference_params(opts.out, params)
+    print(f"packed → {opts.out} ({os.path.getsize(opts.out) / 1e6:.1f} MB)")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -72,8 +85,13 @@ def main(argv=None):
     e.add_argument("--config", required=True)
     e.add_argument("--ckpt", required=True)
     e.add_argument("--out", required=True)
+    k = sub.add_parser("pack", help="params-only bf16 serving artifact")
+    k.add_argument("--config", required=True)
+    k.add_argument("--ckpt", required=True,
+                   help="orbax dir, reference .pt, or inference .npz")
+    k.add_argument("--out", required=True)
     opts = p.parse_args(argv)
-    (cmd_import if opts.cmd == "import" else cmd_export)(opts)
+    {"import": cmd_import, "export": cmd_export, "pack": cmd_pack}[opts.cmd](opts)
 
 
 if __name__ == "__main__":

@@ -32,13 +32,17 @@ from munit_tpu.train import GenBundle
 
 
 def load_gen_params(checkpoint: str, conf):
-    """Reference .pt ({"2": sd} dual / {"a","b"} single) or orbax dir."""
+    """Reference .pt ({"2": sd} dual / {"a","b"} single), orbax dir, or a
+    packed bf16 inference .npz (checkpoint_tools pack)."""
     if os.path.isdir(checkpoint):
         from munit_tpu.io.checkpoint import restore_checkpoint
         from munit_tpu.train import MUNITTrainer
         tr = MUNITTrainer(conf, jax.random.PRNGKey(0))
         state, _ = restore_checkpoint(checkpoint, tr.state)
         return state["gen"]
+    if checkpoint.endswith(".npz"):
+        from munit_tpu.io.checkpoint import load_inference_params
+        return load_inference_params(checkpoint)
     from munit_tpu.io import load_torch_checkpoint, convert_gen_state_dict
     blob = load_torch_checkpoint(checkpoint)
     if "2" in blob:

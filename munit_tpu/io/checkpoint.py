@@ -94,6 +94,90 @@ class CheckpointWriter:
         self.close()
 
 
+# ---------------------------------------------------------------------------
+# Compact inference (deployment) artifact
+# ---------------------------------------------------------------------------
+#
+# Training checkpoints carry the whole trainer state (params + both ExtraAdam
+# moments + the extrapolation snapshot) in f32 — ~6x the bytes a serving host
+# needs. ``save_inference_params`` packs the generator params alone into one
+# .npz, quantizing the big (ndim>=2) weights to bf16 — free on TPU serving,
+# where set_conv_compute casts every conv input to bf16 anyway — while small
+# leaves (biases, norm scales) stay f32. bf16 has no numpy dtype in .npz, so
+# bf16 leaves are stored as uint16 bit patterns plus a JSON manifest.
+
+_INFERENCE_MAGIC = "munit_tpu-inference-v1"
+
+
+def _flatten(tree: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+def _unflatten(flat: Dict[str, Any]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_inference_params(path: str, params: Dict[str, Any],
+                          quantize_min_ndim: int = 2):
+    """Write a params-only .npz with bf16-quantized weights (see above)."""
+    import json
+    import jax.numpy as jnp
+    flat = _flatten(jax.device_get(params))
+    arrays, manifest = {}, {}
+    for i, (key, v) in enumerate(sorted(flat.items())):
+        v = np.asarray(v)
+        name = f"a{i}"
+        if v.ndim >= quantize_min_ndim and v.dtype == np.float32:
+            v = np.asarray(jnp.asarray(v).astype(jnp.bfloat16)).view(np.uint16)
+            manifest[key] = {"name": name, "dtype": "bfloat16"}
+        else:
+            manifest[key] = {"name": name, "dtype": str(v.dtype)}
+        arrays[name] = v
+    arrays["__manifest__"] = np.frombuffer(
+        json.dumps({"magic": _INFERENCE_MAGIC, "keys": manifest}).encode(),
+        dtype=np.uint8)
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
+
+
+def load_inference_params(path: str, dtype="float32") -> Dict[str, Any]:
+    """Load a ``save_inference_params`` artifact back into a param pytree.
+
+    Quantized leaves are dequantized to ``dtype`` (default f32 — the dtype
+    every compute path accepts; set_conv_compute re-casts convs to bf16 on
+    TPU anyway, so nothing is lost). Pass ``dtype=None`` to keep the packed
+    bf16 leaves."""
+    import json
+    import jax.numpy as jnp
+    with np.load(path) as z:
+        manifest = json.loads(bytes(z["__manifest__"]).decode())
+        if manifest.get("magic") != _INFERENCE_MAGIC:
+            raise ValueError(f"{path} is not a munit_tpu inference artifact")
+        flat = {}
+        for key, ent in manifest["keys"].items():
+            v = z[ent["name"]]
+            if ent["dtype"] == "bfloat16":
+                a = jnp.asarray(v.view(jnp.bfloat16))
+                flat[key] = a if dtype is None else a.astype(dtype)
+            else:
+                flat[key] = jnp.asarray(v)
+    return _unflatten(flat)
+
+
 def resume(trainer, ckpt_dir: str) -> int:
     """Reference-style resume (trainer.py:1337-1385): restore the latest
     snapshot into the trainer; returns the iteration to continue from."""

@@ -39,3 +39,75 @@ def test_import_export_roundtrip(tmp_path):
     assert set(sd_in) == set(sd_out)
     for k in sd_in:
         np.testing.assert_allclose(sd_in[k], sd_out[k], atol=1e-7, err_msg=k)
+
+
+def test_pack_bf16_inference_artifact(tmp_path):
+    """pack: .pt → compact bf16 .npz; loads back through load_gen_params and
+    translates within bf16 tolerance of the f32 params at ~half the bytes."""
+    import os
+
+    import jax.numpy as jnp
+
+    from munit_tpu.cli.checkpoint_tools import main
+    from munit_tpu.cli.translate import load_gen_params
+    from munit_tpu.config import validate
+    from munit_tpu.train import GenBundle
+
+    p = tm.small_gen_params()
+    conf = {
+        "new_size": 32, "crop_image_height": 32, "crop_image_width": 32,
+        "gen_state": 1, "guided": 1,
+        "gen": dict(p), "dis": dict(tm.small_dis_params()),
+    }
+    cpath = tmp_path / "c.yaml"
+    cpath.write_text(yaml.safe_dump(conf))
+    torch.manual_seed(0)
+    tgen = tm.MirrorAdaINGenDouble(3, p)
+    pt_in = tmp_path / "gen_in.pt"
+    torch.save({"2": tgen.state_dict()}, pt_in)
+
+    packed = tmp_path / "gen.npz"
+    main(["pack", "--config", str(cpath), "--ckpt", str(pt_in),
+          "--out", str(packed)])
+
+    vconf = validate(conf)
+    params_f32 = load_gen_params(str(pt_in), vconf)
+    params_pk = load_gen_params(str(packed), vconf)  # dequantized to f32
+
+    # structure identical; default load is f32 everywhere (compute-ready)
+    flat32 = jax.tree_util.tree_leaves_with_path(params_f32)
+    treedef32 = jax.tree_util.tree_structure(params_f32)
+    assert treedef32 == jax.tree_util.tree_structure(params_pk)
+    for (path, l32), lpk in zip(flat32,
+                                jax.tree_util.tree_leaves(params_pk)):
+        assert lpk.dtype == l32.dtype, path
+        if l32.ndim >= 2:  # went through bf16: quantized but close
+            d = np.abs(np.asarray(l32) - np.asarray(lpk)).max()
+            assert d <= 0.01, (path, d)
+        else:  # kept exact
+            np.testing.assert_array_equal(np.asarray(l32), np.asarray(lpk))
+
+    # dtype=None keeps the packed bf16 leaves
+    from munit_tpu.io.checkpoint import load_inference_params
+    raw = load_inference_params(str(packed), dtype=None)
+    kinds = {l.dtype for l in jax.tree_util.tree_leaves(raw) if l.ndim >= 2}
+    assert kinds == {np.dtype(jnp.bfloat16)}
+
+    # size: quantization actually halves the weight bytes
+    f32_bytes = sum(np.asarray(v).nbytes for _, v in flat32)
+    assert os.path.getsize(packed) < 0.65 * f32_bytes
+
+    # end-to-end: guided translate with packed params tracks f32 params
+    gen = GenBundle(vconf)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 32, 32, 3), jnp.float32)
+    sty = jnp.asarray(rng.randn(1, 32, 32, 3), jnp.float32)
+
+    def run(params):
+        c, _ = gen.encode(params, x, 1)
+        _, s = gen.encode(params, sty, 2)
+        return gen.decode(params, c, s, 2)
+
+    y32 = np.asarray(run(params_f32), np.float32)
+    ypk = np.asarray(run(params_pk), np.float32)
+    assert np.abs(y32 - ypk).max() < 0.1  # tanh output, bf16 weight noise
