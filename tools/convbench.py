@@ -101,6 +101,49 @@ def main():
     flops = 2 * B * 128 * 128 * 16 * cin * cout
     measure("down 4x4 s2 as s2d 2x2 s1", down_s2d, xs, flops)
 
+    # --- dis stem: 4x4 s2 3->64 (lane-starved, no rescue today) ----------
+    # The discriminator's first layer at each of the 3 scales (reference
+    # networks.py:44: Conv2dBlock(3, dim, 4, 2, 1)). cin=3 wastes >95% of
+    # the MXU's K dim; the f=2 strided s2d rearrangement (4x4 s2 == 2x2 s1
+    # on the f=2 s2d grid, zero kernel waste) lifts cin to 12.
+    for hh in (256, 128, 64):
+        cin, cout = 3, 64
+        kern = jnp.asarray(rng.randn(4, 4, cin, cout) * 0.05, jnp.float32)
+        xs = stage((B, hh, hh, cin))
+        oh = hh // 2
+        flops = 2 * B * oh * oh * 16 * cin * cout
+
+        def stem_direct(x, kn=kern):
+            return ops.conv2d(ops.pad2d(x, 1, "reflect"), kn, None, 2)
+
+        def stem_s2d(x, kn=kern, c=cin, n=cout):
+            xp = ops.pad2d(x, 1, "reflect")
+            xp = s2d(xp)
+            k2 = kn.reshape(2, 2, 2, 2, c, n).transpose(0, 2, 1, 3, 4, 5)
+            k2 = k2.reshape(2, 2, 4 * c, n)
+            return ops.conv2d(xp, k2, None, 1)
+
+        measure(f"dis stem 4x4 s2 3->64 @{hh}", stem_direct, xs, flops)
+        measure(f"dis stem s2d 2x2 s1 @{hh}", stem_s2d, xs, flops)
+        if hh == 256:
+            # parity + the grad-path cost (bwd-kernel is also lane-starved)
+            ya = jax.jit(stem_direct)(xs[0])
+            yb = jax.jit(stem_s2d)(xs[0])
+            d = float(jnp.max(jnp.abs(ya.astype(jnp.float32)
+                                      - yb.astype(jnp.float32))))
+            print(f"   parity max|Δ| = {d:.2e}")
+            for nm, fn in (("direct", stem_direct), ("s2d", stem_s2d)):
+                gf = jax.jit(jax.grad(
+                    lambda kn, x=xs[0], f=fn:
+                    jnp.sum(f(x, kn).astype(jnp.float32) ** 2)))
+                gf(kern); float(jnp.sum(gf(kern)))
+                t0 = time.time()
+                for _ in range(OUTER):
+                    g = gf(kern)
+                float(jnp.sum(g))
+                print(f"   grad-wrt-kernel {nm:7s} "
+                      f"{(time.time()-t0)/OUTER*1e3:7.3f} ms")
+
     # out 7x7 64->3: produce 2x2-s2d output (12 ch) from s2d input (256 ch)
     cin, cout = 64, 3
     kern = jnp.asarray(rng.randn(7, 7, cin, cout) * 0.05, jnp.float32)
