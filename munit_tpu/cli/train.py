@@ -87,6 +87,9 @@ def main(argv=None):
                    help="spatial (H) mesh axis size for HD activation "
                    "sharding (implies --mesh); devices = data x spatial")
     p.add_argument("--time_steps", action="store_true")
+    p.add_argument("--profile", type=int, default=0, metavar="N",
+                   help="capture a jax.profiler trace of N steps (after a "
+                        "2-step warmup) into <run>/trace")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--comet", action="store_true",
                    help="attach a comet_ml Experiment (train.py:55 parity)")
@@ -177,7 +180,8 @@ def main(argv=None):
 
     train_loop(trainer, conf, loaders, output_directory, logger,
                start_iteration=start, display_batches=display_batches,
-               mesh=mesh, time_steps=opts.time_steps)
+               mesh=mesh, time_steps=opts.time_steps,
+               profile=(start + 2, opts.profile) if opts.profile else None)
 
 
 if __name__ == "__main__":

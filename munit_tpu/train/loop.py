@@ -41,10 +41,13 @@ def train_loop(trainer, conf, loaders, output_directory: str,
                max_iter: Optional[int] = None,
                display_batches=None,
                mesh=None,
-               time_steps: bool = False):
+               time_steps: bool = False,
+               profile: Optional[tuple] = None):
     """loaders: dict with 'a', 'b' (image+mask loaders) and optionally
     'synth'. display_batches: optional (train_a, train_b, test_a, test_b)
-    numpy arrays for grid dumps."""
+    numpy arrays for grid dumps. profile: optional (first_iteration,
+    n_steps) window captured with jax.profiler into
+    ``output_directory/trace`` (SURVEY §5.1)."""
     logger = logger or MetricLogger(output_directory)
     ckpt_dir = os.path.join(output_directory, "checkpoints")
     img_dir = os.path.join(output_directory, "images")
@@ -67,7 +70,19 @@ def train_loop(trainer, conf, loaders, output_directory: str,
     flush_every = max(1, 100 // max(conf["log_iter"], 1))
     ckpt_writer = None
     iterations = start_iteration
+    profiling = False
+    import time as _time
+    tput_t0, tput_imgs = _time.monotonic(), 0
     while iterations < max_iter:
+        if profile is not None:
+            if iterations == profile[0] and not profiling:
+                from munit_tpu.utils.profiling import start_trace
+                start_trace(os.path.join(output_directory, "trace"))
+                profiling = True
+            elif profiling and iterations >= profile[0] + profile[1]:
+                from munit_tpu.utils.profiling import stop_trace
+                stop_trace()
+                profiling = False
         ba = maybe_shard(next(it_a))
         bb = maybe_shard(next(it_b))
         bs = maybe_shard(next(it_s)) if it_s else None
@@ -126,6 +141,7 @@ def train_loop(trainer, conf, loaders, output_directory: str,
             if time_steps:
                 jax.block_until_ready(trainer.state["gen"])
 
+        tput_imgs += int(x_a.shape[0])
         if (iterations + 1) % conf["log_iter"] == 0:
             # buffer device scalars; materialize in batches so logging never
             # forces a per-iteration device sync (the reference synced every
@@ -135,6 +151,14 @@ def train_loop(trainer, conf, loaders, output_directory: str,
                 for step_, m_ in pending:
                     logger.log_metrics(m_, step_)
                 pending.clear()
+                # host-side throughput over the flushed window (includes
+                # compile time in the first window — observability, not a
+                # benchmark; bench.py owns the measured number)
+                dt = _time.monotonic() - tput_t0
+                if dt > 0:
+                    logger.log_metrics(
+                        {"images_per_sec": tput_imgs / dt}, iterations + 1)
+                tput_t0, tput_imgs = _time.monotonic(), 0
 
         if display_batches is not None:
             tr_a, tr_b, te_a, te_b = display_batches
@@ -165,8 +189,16 @@ def train_loop(trainer, conf, loaders, output_directory: str,
                 logger.log_metrics({"FID": fid}, iterations + 1)
 
         iterations += 1
+    if profiling:
+        from munit_tpu.utils.profiling import stop_trace
+        stop_trace()
     for step_, m_ in pending:
         logger.log_metrics(m_, step_)
+    if pending:
+        dt = _time.monotonic() - tput_t0
+        if dt > 0 and tput_imgs:
+            logger.log_metrics({"images_per_sec": tput_imgs / dt},
+                               pending[-1][0])
     if ckpt_writer is not None:
         ckpt_writer.close()   # drain pending async checkpoint writes
     return iterations

@@ -24,6 +24,18 @@ def trace(logdir: str = "/tmp/munit_tpu_trace"):
         jax.profiler.stop_trace()
 
 
+def start_trace(logdir: str):
+    """Imperative start (for window captures inside the train loop)."""
+    import jax
+    os.makedirs(logdir, exist_ok=True)
+    jax.profiler.start_trace(logdir)
+
+
+def stop_trace():
+    import jax
+    jax.profiler.stop_trace()
+
+
 def annotate(name: str):
     """Named trace region for step-level attribution."""
     import jax

@@ -61,9 +61,13 @@ def workspace(tmp_path):
 
 
 def test_cli_train_end_to_end(workspace):
+    import glob
+    import json
+
     tmp_path, cpath = workspace
     from munit_tpu.cli.train import main
-    main(["--config", cpath, "--output_path", str(tmp_path / "run")])
+    main(["--config", cpath, "--output_path", str(tmp_path / "run"),
+          "--profile", "1"])
 
     outdir = tmp_path / "run" / "outputs" / "tiny"
     assert (outdir / "config.yaml").exists()
@@ -73,6 +77,12 @@ def test_cli_train_end_to_end(workspace):
     assert (outdir / "images" / "gen_a2b_train_current.jpg").exists()
     from munit_tpu.io.checkpoint import latest_step
     assert latest_step(str(outdir / "checkpoints")) == 2
+    # --profile N wrote an xplane trace of the profiled window (§5.1)
+    assert glob.glob(str(outdir / "trace" / "**" / "*.xplane.pb"),
+                     recursive=True)
+    # host-side throughput is part of the metric stream
+    tput = [json.loads(l) for l in lines if "images_per_sec" in l]
+    assert tput and tput[-1]["images_per_sec"] > 0
 
 
 def test_cli_train_in_training_fid(workspace, tmp_path):
