@@ -279,7 +279,9 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)
     p.add_argument("--checkpoint", required=True)
-    p.add_argument("--style", required=True, help="style exemplar image")
+    p.add_argument("--style", required=True, action="append",
+                   help="style exemplar image, 'path' or 'name=path'; "
+                        "repeatable — the first is also served as 'default'")
     p.add_argument("--port", type=int, default=8787)
     p.add_argument("--max-batch", type=int, default=8,
                    help="micro-batcher cap (1 disables batching)")
@@ -293,7 +295,13 @@ def main(argv=None):
     svc = TranslationService(conf, load_gen_params(opts.checkpoint, conf),
                              max_batch=opts.max_batch,
                              max_wait_ms=opts.max_wait_ms)
-    svc.add_style("default", Image.open(opts.style))
+    for i, spec in enumerate(opts.style):
+        name, _, path = spec.rpartition("=")
+        img = Image.open(path or spec)
+        if i == 0:
+            svc.add_style("default", img)
+        if name:
+            svc.add_style(name, img)
     svc.warmup()
     server = serve(svc, opts.port)
     print(f"serving on :{opts.port}")
