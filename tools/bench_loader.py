@@ -1,6 +1,9 @@
 """Data-loader throughput benchmark: PIL chain vs native C++ fused path.
 
   python tools/bench_loader.py [n_images] [workers]
+
+BENCH_NEWSIZE / BENCH_CROP override the 286/256 transform sizes (e.g.
+600/512 for the config_HD envelope).
 """
 
 import os
@@ -29,11 +32,13 @@ def main():
 
     from munit_tpu.data import get_data_loader_mask_and_im
 
+    new_size = int(os.environ.get("BENCH_NEWSIZE", "286"))
+    crop = int(os.environ.get("BENCH_CROP", "256"))
     for native_flag in ("0", "1"):
         os.environ["MUNIT_NATIVE_IMAGEOPS"] = native_flag
         loader = get_data_loader_mask_and_im(
-            flist, None, batch_size=8, train=True, new_size=286, height=256,
-            width=256, num_workers=workers)
+            flist, None, batch_size=8, train=True, new_size=new_size,
+            height=crop, width=crop, num_workers=workers)
         it = iter(loader)
         next(it)  # warm
         t0 = time.time()
@@ -45,7 +50,8 @@ def main():
         dt = time.time() - t0
         label = "native" if native_flag == "1" else "PIL"
         print(f"{label:>6}: {seen / dt:8.1f} images/sec "
-              f"({workers} workers, 800x600 jpg -> 256^2 crop)")
+              f"({workers} workers, 800x600 jpg -> resize {new_size} "
+              f"-> {crop}^2 crop)")
 
 
 if __name__ == "__main__":
