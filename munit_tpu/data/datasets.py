@@ -93,8 +93,18 @@ def scan_folder(folder: str) -> List[str]:
     return images
 
 
-def _open_rgb(path: str) -> Image.Image:
-    return Image.open(path).convert("RGB")
+def _open_rgb(path: str, target: Optional[int] = None) -> Image.Image:
+    """Decode to RGB. With MUNIT_JPEG_DRAFT=1 and a downstream shorter-side
+    resize ``target``, JPEGs decode at the largest DCT-domain 1/1..1/8 scale
+    whose result still covers the target (PIL ``draft``) — 2-4x faster decode
+    when the source is much larger than ``new_size``. OPT-IN because the
+    scaled iDCT pixels differ slightly from full-res decode + resize (the
+    reference decodes full-res), so golden-parity runs keep it off."""
+    img = Image.open(path)
+    if (target and img.format == "JPEG"
+            and os.environ.get("MUNIT_JPEG_DRAFT", "0") == "1"):
+        img.draft("RGB", (int(target), int(target)))
+    return img.convert("RGB")
 
 
 class ImageFilelist:
@@ -117,13 +127,15 @@ class ImageFilelist:
         if self.cache is not None:
             hit = self.cache.get(index)
             if hit is None:
-                img = _open_rgb(os.path.join(self.root, self.paths[index]))
+                img = _open_rgb(os.path.join(self.root, self.paths[index]),
+                                self.new_size)
                 hit = (np.asarray(T.resize_shorter(img, self.new_size)),)
                 self.cache.put(index, hit)
             x = T.image_transform_cached(rng, hit[0], self.h, self.w,
                                          self.train, self.uint8_out)
             return {"image": x}
-        img = _open_rgb(os.path.join(self.root, self.paths[index]))
+        img = _open_rgb(os.path.join(self.root, self.paths[index]),
+                        self.new_size)
         x = T.image_transform(rng, img, self.new_size, self.h, self.w,
                               self.train, self.crop)
         if self.uint8_out:
@@ -186,7 +198,8 @@ class ImageMaskDataset:
         return len(self.paths)
 
     def _decode_resized(self, index):
-        img = T.resize_shorter(_open_rgb(self.paths[index]), self.new_size)
+        img = T.resize_shorter(_open_rgb(self.paths[index], self.new_size),
+                               self.new_size)
         mask = mask_flip = None
         if self.mask_paths:
             def prep(m):
@@ -212,7 +225,7 @@ class ImageMaskDataset:
                                                  self.h, self.w,
                                                  self.uint8_out)
             return {"image": x, "mask": m}
-        img = _open_rgb(self.paths[index])
+        img = _open_rgb(self.paths[index], self.new_size)
         mask = (Image.open(self.mask_paths[index])
                 if self.mask_paths else None)
         x, m = T.image_mask_transform(rng, img, mask, self.new_size,
@@ -267,7 +280,9 @@ class FidPairDataset:
 
     def get(self, index, rng):
         a = T.normalize_pm1(T.to_array01(
-            T.resize_shorter(_open_rgb(self.a[index]), self.new_size)))
+            T.resize_shorter(_open_rgb(self.a[index], self.new_size),
+                             self.new_size)))
         b = T.normalize_pm1(T.to_array01(
-            T.resize_shorter(_open_rgb(self.b[index]), self.new_size)))
+            T.resize_shorter(_open_rgb(self.b[index], self.new_size),
+                             self.new_size)))
         return {"image_a": a, "image_b": b}

@@ -196,3 +196,37 @@ def test_loader_single_epoch_drop_last_with_window():
     assert len(out) == 2
     seen = sorted(int(b["image"][i, 0, 0, 0]) for b in out for i in range(4))
     assert seen == list(range(8))
+
+
+def test_jpeg_draft_decode_opt_in(tmp_path, monkeypatch):
+    """MUNIT_JPEG_DRAFT=1: JPEGs decode at a DCT-domain reduced scale when a
+    shorter-side resize follows — same output geometry, near-identical
+    pixels; PNGs and the default (off) path are bit-identical."""
+    from munit_tpu.data.datasets import ImageFilelist
+
+    rng = np.random.RandomState(0)
+    # smooth image: keeps the scaled-iDCT vs full-decode+resize delta small
+    base = rng.randint(0, 40, (16, 20, 3), np.uint8).repeat(40, 0).repeat(40, 1)
+    jpg = tmp_path / "big.jpg"
+    Image.fromarray(base).save(jpg, quality=95)
+    png = tmp_path / "big.png"
+    Image.fromarray(base).save(png)
+    for p, name in ((jpg, "jpg.txt"), (png, "png.txt")):
+        (tmp_path / name).write_text(str(p))
+
+    def sample(flist):
+        ds = ImageFilelist("", str(tmp_path / flist), new_size=128,
+                           height=128, width=128, train=False, cache_mb=0)
+        return ds.get(0, np.random.default_rng(0))["image"]
+
+    monkeypatch.delenv("MUNIT_JPEG_DRAFT", raising=False)
+    off = sample("jpg.txt")
+    off_png = sample("png.txt")
+    monkeypatch.setenv("MUNIT_JPEG_DRAFT", "1")
+    on = sample("jpg.txt")
+    on_png = sample("png.txt")
+
+    assert on.shape == off.shape == (128, 128, 3)
+    # draft engaged (decode differs) but stays close on smooth content
+    assert np.abs(on - off).mean() < 0.02          # [-1,1] scale
+    np.testing.assert_array_equal(on_png, off_png)  # PNG: draft is a no-op
