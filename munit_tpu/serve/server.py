@@ -95,6 +95,13 @@ class MicroBatcher:
             self._cv.notify_all()
         self._thread.join(timeout=5)
 
+    def stats_snapshot(self) -> dict:
+        """Race-free copy for handlers (the dispatcher mutates batch_hist)."""
+        with self._cv:
+            st = dict(self.stats)
+            st["batch_hist"] = dict(st["batch_hist"])
+        return st
+
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
             if b >= n:
@@ -131,11 +138,12 @@ class MicroBatcher:
                 t0 = time.monotonic()
                 y = np.asarray(self.run_batch(jnp.asarray(x), s))
                 dt = (time.monotonic() - t0) * 1e3
-                self.stats["requests"] += n
-                self.stats["batches"] += 1
-                self.stats["batch_hist"][n] = \
-                    self.stats["batch_hist"].get(n, 0) + 1
-                self.stats["device_ms"] += dt
+                with self._cv:
+                    self.stats["requests"] += n
+                    self.stats["batches"] += 1
+                    self.stats["batch_hist"][n] = \
+                        self.stats["batch_hist"].get(n, 0) + 1
+                    self.stats["device_ms"] += dt
                 for i, it in enumerate(batch):
                     it["out"] = y[i:i + 1]
                     it["ev"].set()
@@ -220,7 +228,8 @@ def _make_handler(service: TranslationService):
                     "batching": service.batcher is not None,
                 }).encode()
             elif self.path.startswith("/stats"):
-                st = dict(service.batcher.stats) if service.batcher else {}
+                st = (service.batcher.stats_snapshot()
+                      if service.batcher else {})
                 if st.get("batches"):
                     st["mean_batch"] = round(
                         st["requests"] / st["batches"], 3)
