@@ -98,6 +98,18 @@ def main(argv=None):
     opts = p.parse_args(argv)
 
     conf = get_config(opts.config)
+    # training numerics (config `precision:`): "bf16" (default) = bf16 MXU
+    # multiplies with f32 accumulate, norms/losses/optimizer in f32 — the
+    # production mode every BENCH.md training number measures; "parity" /
+    # "f32" = full-f32 HIGHEST-precision convs for golden comparisons
+    # against the reference. Inference CLIs (translate/evaluate) always run
+    # parity mode — their outputs are pixel-pinned against the reference.
+    prec = str(conf.get("precision", "bf16")).lower()
+    if prec in ("bf16", "bfloat16"):
+        from munit_tpu.core import ops as _ops
+        _ops.set_conv_compute(jnp.bfloat16, jax.lax.Precision.DEFAULT)
+    elif prec not in ("parity", "f32", "float32"):
+        raise ValueError(f"unknown precision: {prec!r}")
     model_name = os.path.splitext(os.path.basename(opts.config))[0]
     output_directory = os.path.join(opts.output_path, "outputs", model_name)
     ckpt_dir, img_dir = prepare_sub_folder(output_directory)

@@ -32,3 +32,17 @@ assert jax.devices()[0].platform == "cpu", (
 if jax.device_count() < 8:  # pragma: no cover
     import warnings
     warnings.warn(f"only {jax.device_count()} CPU devices; mesh tests may skip")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_conv_compute():
+    """set_conv_compute is process-global; the train CLI's default
+    `precision: bf16` must not leak bf16 convs into parity tests that run
+    later in the same process."""
+    yield
+    from jax import lax
+    from munit_tpu.core import ops
+    ops.set_conv_compute(None, lax.Precision.HIGHEST)
