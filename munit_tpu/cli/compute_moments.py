@@ -77,8 +77,10 @@ def main(argv=None):
 
     mu = pool.mean(axis=0)
     sigma = np.cov(pool, rowvar=False)
-    np.savez(opts.out, mu=mu, sigma=sigma)
-    print(f"Wrote moments of {len(pool)} images to {opts.out}")
+    # raw pool rides along (f32, ~8 KB/image): `evaluate fid --kid` needs
+    # real FEATURES, not just moments, for the unbiased MMD² estimator
+    np.savez(opts.out, mu=mu, sigma=sigma, pool=pool.astype(np.float32))
+    print(f"Wrote moments (+pool) of {len(pool)} images to {opts.out}")
 
 
 if __name__ == "__main__":

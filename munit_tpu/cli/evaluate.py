@@ -4,7 +4,12 @@ FID wires the reference's dead training-loop hook (train.py:119-130 prepared
 metrics but never invoked them — SURVEY.md §2.6) into a working command:
 
   python -m munit_tpu.cli.evaluate fid --config ... --checkpoint gen.pt \\
-      --inception_ckpt inception.pkl
+      --inception_ckpt inception.pkl [--kid]
+
+``--kid`` additionally reports the Kernel Inception Distance (unbiased
+polynomial-kernel MMD², eval/kid.py) against the raw real features that
+cli.compute_moments stores alongside mu/sigma — completing the project
+metric study's IS/FID/KID set (docs/index.html:338, arXiv:1910.10143).
 
 Slerp sweep (utils.py:849-883 semantics): decode a content image under
 spherically-interpolated style codes, write a sweep strip:
@@ -62,6 +67,16 @@ def cmd_fid(opts):
     moments = np.load(conf["inception_moment_path"])
     fid = compute_fid_from_pools(pool, moments["mu"], moments["sigma"])
     print(f"FID: {fid}")
+    if getattr(opts, "kid", False):
+        if "pool" not in moments.files:
+            raise SystemExit(
+                "--kid needs raw real features: regenerate the moments file "
+                "with cli.compute_moments (it now stores `pool` alongside "
+                "mu/sigma)")
+        from munit_tpu.eval.kid import kid
+        kid_mean, kid_std = kid(np.asarray(pool), moments["pool"])
+        print(f"KID: {kid_mean:.6f} ± {kid_std:.6f}")
+        return {"fid": fid, "kid": kid_mean, "kid_std": kid_std}
     return fid
 
 
@@ -91,6 +106,9 @@ def main(argv=None):
     f.add_argument("--config", required=True)
     f.add_argument("--checkpoint", required=True)
     f.add_argument("--inception_ckpt", required=True)
+    f.add_argument("--kid", action="store_true",
+                   help="also report Kernel Inception Distance (requires a "
+                        "moments file carrying the raw real `pool`)")
     s = sub.add_parser("sweep")
     s.add_argument("--config", required=True)
     s.add_argument("--checkpoint", required=True)

@@ -85,11 +85,15 @@ def test_fid_pipeline_end_to_end(tmp_path, ref_networks):
     conf_path = tmp_path / "conf.yaml"
     conf_path.write_text(yaml.safe_dump(conf))
 
+    # --kid rides along: the moments file carries the raw real pool, and
+    # KID of translated-vs-real is finite and (translations ≠ reals) positive
     from munit_tpu.cli.evaluate import main as eval_main
-    fid = eval_main(["fid", "--config", str(conf_path),
+    res = eval_main(["fid", "--kid", "--config", str(conf_path),
                      "--checkpoint", gen_ckpt,
                      "--inception_ckpt", str(incep_pkl)])
-    assert np.isfinite(fid) and fid > 0, fid
+    fid = res["fid"]
+    assert np.isfinite(fid) and fid > 0, res
+    assert np.isfinite(res["kid"]) and res["kid"] > 0, res
 
     # 6. invariant: a set against its own moments → FID ≈ 0
     from munit_tpu.eval.fid import compute_fid_from_pools
