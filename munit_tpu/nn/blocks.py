@@ -50,16 +50,29 @@ class ConvBlock(nn.Module):
                  adain_params: Optional[AdainPair] = None,
                  update_sn: bool = False,
                  raw_ln: bool = False,
-                 pre_s2d=None) -> jax.Array:
+                 pre_s2d=None,
+                 raw_params: bool = False) -> jax.Array:
         """``raw_ln``: norm=='ln' only — skip norm+act and return
         (conv_out, ln_gamma, ln_beta) so a consumer can apply the LN fused
         into its own input processing (Decoder LN×s2d fusion).
         ``pre_s2d``: elementwise fn applied to the space-to-depth slab
-        before the conv on the s2d-rescued path (see ops.conv2d_s2d)."""
+        before the conv on the s2d-rescued path (see ops.conv2d_s2d).
+        ``raw_params``: define and return this block's parameters without
+        computing anything — x is a shape donor only. Returns
+        (kernel, bias) or (kernel, bias, ln_gamma, ln_beta) for norm=='ln'.
+        Lets a consumer run the math in a rearranged form (the lane-packed
+        decoder tail) while keeping the checkpoint param tree identical."""
         in_dim = x.shape[-1]
         kshape = (self.kernel_size, self.kernel_size, in_dim, self.out_dim)
         kernel = self.param("kernel", self.kernel_init, kshape)
         bias = self.param("bias", init.zeros, (self.out_dim,))
+
+        if raw_params:
+            if self.norm == "ln":
+                gamma = self.param("ln_gamma", init.uniform01, (self.out_dim,))
+                beta = self.param("ln_beta", init.zeros, (self.out_dim,))
+                return kernel, bias, gamma, beta
+            return kernel, bias
 
         if self.norm == "sn":
             # Spectral norm: one power iteration per call on the (out, fan_in)

@@ -151,8 +151,35 @@ class Decoder(nn.Module):
         fuse_tail = (_os.environ.get("MUNIT_LN_S2D", "0") == "1"
                      and self.n_upsample > 0 and f_out > 1
                      and self.activ in ("relu", "lrelu", "selu", "none"))
+        # Lane-packed tail (core/packed_tail.py): keep the last up stage +
+        # out conv in s2d f=2 space — lane-full [.,H,W,4*64] instead of the
+        # half-lane [.,2H,2W,64], no full-res materialization. Exact (border
+        # rings recomputed by strip convs). MUNIT_PACKED_TAIL: 1=on,
+        # auto=on for HD-sized outputs (>=512 px), 0=off. Measured 2.4x on
+        # the HD tail chain (tools/hdtailprobe.py).
+        from munit_tpu.core import packed_tail as _pt
+        _pt_mode = _os.environ.get("MUNIT_PACKED_TAIL", "auto")
+        h_last = x.shape[1] * (2 ** max(self.n_upsample - 1, 0))
+        w_last = x.shape[2] * (2 ** max(self.n_upsample - 1, 0))
+        use_packed = (self.n_upsample > 0 and self.pad_type == "reflect"
+                      and (_pt_mode == "1"
+                           or (_pt_mode == "auto" and 2 * h_last >= 512))
+                      and _pt.supported(h_last, w_last))
         from jax.ad_checkpoint import checkpoint_name
         for i in range(self.n_upsample):
+            last = i == self.n_upsample - 1
+            if use_packed and last:
+                up = ConvBlock(dim // 2, 5, 1, 2, norm="ln", activ=self.activ,
+                               pad_type=self.pad_type,
+                               kernel_init=self.kernel_init, name=f"up_{i}")
+                k5, b5, g, b = up(x, raw_params=True)
+                oc = ConvBlock(self.output_dim, 7, 1, 3, norm="none",
+                               activ="tanh", pad_type=self.pad_type,
+                               kernel_init=self.kernel_init, name="out_conv")
+                k7, b7 = oc(x[:, :1, :1, :dim // 2], raw_params=True)
+                out = _pt.packed_decoder_tail(x, k5, b5, g, b, k7, b7,
+                                              activ=self.activ)
+                return ops.activation("tanh")(out)
             # "dec_up_in": the nearest-upsampled conv input is the largest
             # decoder buffer held for the conv kernel-grad; under the "hd"
             # remat policy it is recomputed in the backward (recompute ≈ a
