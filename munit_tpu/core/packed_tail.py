@@ -124,15 +124,21 @@ def packed_out_kernel(k7: jax.Array) -> jax.Array:
 
 
 def _pad_w(t: jax.Array, p: int) -> jax.Array:
-    """Width-only reflect pad (pixel granularity)."""
-    return jnp.concatenate(
-        [t[:, :, p:0:-1], t, t[:, :, -2:-2 - p:-1]], axis=2)
+    """Width-only reflect pad (pixel granularity). Built from unit-width
+    slices — no negative-stride (reverse) ops, which participate in the
+    TPU fusion-emitter crash this module works around."""
+    w = t.shape[2]
+    left = [t[:, :, i:i + 1] for i in range(p, 0, -1)]
+    right = [t[:, :, w - 2 - i:w - 1 - i] for i in range(p)]
+    return jnp.concatenate(left + [t] + right, axis=2)
 
 
 def _pad_h(t: jax.Array, p: int) -> jax.Array:
-    """Height-only reflect pad (pixel granularity)."""
-    return jnp.concatenate(
-        [t[:, p:0:-1], t, t[:, -2:-2 - p:-1]], axis=1)
+    """Height-only reflect pad (pixel granularity); see _pad_w."""
+    h = t.shape[1]
+    top = [t[:, i:i + 1] for i in range(p, 0, -1)]
+    bot = [t[:, h - 2 - i:h - 1 - i] for i in range(p)]
+    return jnp.concatenate(top + [t] + bot, axis=1)
 
 
 def packed_decoder_tail(x: jax.Array,
@@ -202,19 +208,27 @@ def packed_decoder_tail(x: jax.Array,
     out = ops.depth_to_space(y2, 8)                 # [B, 2H, 2W, cout]
 
     # -- 5. exact out-conv border ring (3 px) -----------------------------
+    # NOTE: no reverse (negative-stride slice) ops anywhere in the strip
+    # assembly — reverse fused into these strip chains crashes the TPU
+    # fusion emitter (fusion_emitter.cc window_bounds==strides check
+    # failure); explicit unit slices compile clean. See _pad_w/_pad_h.
     d2 = lambda t: ops.depth_to_space(t, 2)
     z_t = d2(z4[:, :3])                                        # z rows 0..5
     o_top = ops.conv2d(_pad_w(jnp.concatenate(
-        [z_t[:, 3:0:-1], z_t], axis=1), 3), k7, None, 1)       # rows 0..2
+        [z_t[:, 3:4], z_t[:, 2:3], z_t[:, 1:2], z_t], axis=1), 3),
+        k7, None, 1)                                           # rows 0..2
     z_b = d2(z4[:, -3:])                                       # 2H-6..2H-1
     o_bot = ops.conv2d(_pad_w(jnp.concatenate(
-        [z_b, z_b[:, 4:1:-1]], axis=1), 3), k7, None, 1)       # 2H-3..2H-1
+        [z_b, z_b[:, 4:5], z_b[:, 3:4], z_b[:, 2:3]], axis=1), 3),
+        k7, None, 1)                                           # 2H-3..2H-1
     z_l = d2(z4[:, :, :3])
     o_left = ops.conv2d(_pad_h(jnp.concatenate(
-        [z_l[:, :, 3:0:-1], z_l], axis=2), 3), k7, None, 1)    # cols 0..2
+        [z_l[:, :, 3:4], z_l[:, :, 2:3], z_l[:, :, 1:2], z_l], axis=2), 3),
+        k7, None, 1)                                           # cols 0..2
     z_r = d2(z4[:, :, -3:])
     o_right = ops.conv2d(_pad_h(jnp.concatenate(
-        [z_r, z_r[:, :, 4:1:-1]], axis=2), 3), k7, None, 1)    # last 3 cols
+        [z_r, z_r[:, :, 4:5], z_r[:, :, 3:4], z_r[:, :, 2:3]], axis=2), 3),
+        k7, None, 1)                                           # last 3 cols
 
     out = jnp.concatenate([o_top, out[:, 3:-3], o_bot], axis=1)
     out = jnp.concatenate([o_left, out[:, :, 3:-3], o_right], axis=2)

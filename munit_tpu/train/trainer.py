@@ -229,8 +229,17 @@ class MUNITTrainer:
         self.conf = conf
         self.dtype = dtype
         if remat is None:
-            # HD crops (>=512²) need decoder rematerialization (§7 item 6)
-            remat = conf["crop_image_height"] >= 512
+            # HD crops (>=512²) needed decoder rematerialization (§7 item 6)
+            # UNTIL the lane-packed decoder tail (core/packed_tail.py):
+            # with the tail packed (auto-on for >=512-px outputs) the
+            # [B,512,512,{128,64}] materializations are gone, batch-8 HD
+            # fits with NO remat, and no-remat is fastest (26.9 vs 24.0
+            # img/s under remat — BENCH.md r3 HD table). Keep remat=True
+            # only when the packed tail is disabled.
+            import os as _os2
+            packed_off = (_os2.environ.get("MUNIT_PACKED_TAIL", "auto") == "0"
+                          or conf["gen"]["pad_type"] != "reflect")
+            remat = conf["crop_image_height"] >= 512 and packed_off
         self.guided = conf["guided"]
         self.gan_type = conf["dis"]["gan_type"]
         self.crop = image_size or conf["crop_image_height"]
@@ -253,8 +262,12 @@ class MUNITTrainer:
         # (grouped convs). Identical per-sample math; fewer, wider kernel
         # launches (the r1 bottleneck was chain count — BENCH.md).
         import os as _os
+        # HD crops run faster narrow: the wide 2x-batch 512² slabs lose
+        # (BENCH.md r3 HD tables: wide=1 23.3 vs wide=0 26.9 img/s with the
+        # packed tail; OOM pre-packed). Explicit `wide:` or MUNIT_WIDE wins.
+        default_wide = 0 if conf.get("crop_image_height", 256) >= 512 else 1
         self.wide = int(_os.environ.get(
-            "MUNIT_WIDE", str(conf.get("wide", 1))))
+            "MUNIT_WIDE", str(conf.get("wide", default_wide))))
         if conf["gen_state"] != 1:
             self.wide = 0
         # Fused dis+gen step on gen iterations (one shared generator
