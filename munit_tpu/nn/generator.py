@@ -155,15 +155,18 @@ class Decoder(nn.Module):
         # out conv in s2d f=2 space — lane-full [.,H,W,4*64] instead of the
         # half-lane [.,2H,2W,64], no full-res materialization. Exact (border
         # rings recomputed by strip convs). MUNIT_PACKED_TAIL: 1=on,
-        # auto=on for HD-sized outputs (>=512 px), 0=off. Measured 2.4x on
-        # the HD tail chain (tools/hdtailprobe.py).
+        # auto=on for production-sized outputs (>=256 px), 0=off. Measured
+        # 2.4x on the HD tail chain (tools/hdtailprobe.py) and +12.5% on the
+        # full 256^2 training step (101.6 -> 114.4 img/s, BENCH.md r3);
+        # below 256 px the border-strip overhead eats the interior win, so
+        # tiny test shapes keep the reference-faithful path.
         from munit_tpu.core import packed_tail as _pt
         _pt_mode = _os.environ.get("MUNIT_PACKED_TAIL", "auto")
         h_last = x.shape[1] * (2 ** max(self.n_upsample - 1, 0))
         w_last = x.shape[2] * (2 ** max(self.n_upsample - 1, 0))
         use_packed = (self.n_upsample > 0 and self.pad_type == "reflect"
                       and (_pt_mode == "1"
-                           or (_pt_mode == "auto" and 2 * h_last >= 512))
+                           or (_pt_mode == "auto" and 2 * h_last >= 256))
                       and _pt.supported(h_last, w_last))
         from jax.ad_checkpoint import checkpoint_name
         for i in range(self.n_upsample):

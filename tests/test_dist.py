@@ -131,8 +131,15 @@ def test_graft_dryrun_multichip():
     mod.dryrun_multichip(8)
 
 
-@pytest.mark.parametrize("spatial,s2d", [(2, "1"), (4, "0")])
-def test_spatial_mesh_gradient_parity(spatial, s2d, monkeypatch):
+@pytest.mark.parametrize("spatial,s2d,packed", [
+    (2, "1", "0"),
+    (4, "0", "0"),
+    # packed decoder tail forced on (auto gate needs >=256-px outputs;
+    # production HD/256² spatial training runs exactly this combination):
+    # the packed s2d/d2s ops + border-strip slices must shard cleanly.
+    (2, "1", "1"),
+])
+def test_spatial_mesh_gradient_parity(spatial, s2d, packed, monkeypatch):
     """Sharded-vs-unsharded parity of the PRE-OPTIMIZER gradient trees of
     the fused dis+gen step, at float-summation tolerance. The param-level
     test below needs an atol=2.5e-4 floor because Adam's m/√v normalizes
@@ -148,6 +155,7 @@ def test_spatial_mesh_gradient_parity(spatial, s2d, monkeypatch):
     test_xla_spmd_s2d_degenerate_shard_grad_bug for the pinned repro and
     dist.mesh.check_spatial_extent for the production guard."""
     monkeypatch.setenv("MUNIT_S2D", s2d)
+    monkeypatch.setenv("MUNIT_PACKED_TAIL", packed)
     batch = 4
     rng = np.random.RandomState(5)
     x_a = rng.randn(batch, CROP, CROP, 3).astype(np.float32) * 0.3
