@@ -223,6 +223,20 @@ def depth_to_space(x: jax.Array, f: int) -> jax.Array:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * f, w * f, n)
 
 
+def depth_to_space_partial(x: jax.Array, f: int, g: int) -> jax.Array:
+    """d2s from f-packed to g-packed form (g divides f): [B,H,W,f²C] →
+    [B,H·f/g,W·f/g,g²C]. Phase p of the f-packing splits as
+    p = (p//g)·g + p%g — the outer part becomes the finer cell index, the
+    inner part the residual g-phase. depth_to_space(x, f) ≡
+    depth_to_space_partial(x, f, 1)."""
+    b, h, w, c = x.shape
+    m = f // g
+    n = c // (f * f)
+    x = x.reshape(b, h, w, m, g, m, g, n)
+    x = x.transpose(0, 1, 3, 2, 5, 4, 6, 7)
+    return x.reshape(b, h * m, w * m, g * g * n)
+
+
 @functools.lru_cache(maxsize=32)
 def _s2d_select(f: int, k: int) -> np.ndarray:
     """S[A, p, r, u] = 1 iff kernel tap u maps to s2d tap A at input phase p

@@ -295,3 +295,18 @@ def test_decoder_ln_s2d_fusion_exact(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-4 * max(1.0, gmax),
             err_msg=jax.tree_util.keystr(k0))
+
+
+def test_depth_to_space_partial():
+    """depth_to_space_partial(x, f, g) moves an f-packing to a g-packing
+    (g | f) such that finishing with a plain d2s(g) reproduces d2s(f), and
+    g=1 degenerates to the full unpack."""
+    from munit_tpu.core import ops
+    rng = np.random.RandomState(0)
+    for f, g in [(4, 2), (4, 1), (4, 4), (8, 2), (6, 3)]:
+        x = jnp.asarray(rng.randn(2, 5, 7, f * f * 3), jnp.float32)
+        full = ops.depth_to_space(x, f)
+        part = ops.depth_to_space_partial(x, f, g)
+        assert part.shape == (2, 5 * f // g, 7 * f // g, g * g * 3)
+        finished = ops.depth_to_space(part, g) if g > 1 else part
+        np.testing.assert_array_equal(np.asarray(finished), np.asarray(full))
