@@ -278,7 +278,7 @@ def s2d_rescue_factor(h: int, w: int, k: int, cin: int, cout: int,
 def conv2d_s2d(x: jax.Array, kernel: jax.Array,
                bias: jax.Array | None = None, f: int = 4,
                pad: int | None = None, pad_type: str = "reflect",
-               pre=None) -> jax.Array:
+               pre=None, post=None) -> jax.Array:
     """Stride-1 odd-kernel conv computed on an f×f space-to-depth grid.
 
     Exactly equivalent to ``conv2d(pad2d(x, (k-1)//2, pad_type), kernel)``.
@@ -291,6 +291,13 @@ def conv2d_s2d(x: jax.Array, kernel: jax.Array,
     s2d space where the layout is conv-friendly; see whole_ln_stats_s2d).
     The far-side zero rows pass through ``pre`` too, which is safe: no
     nonzero rearranged-kernel tap ever reads them.
+
+    ``post``: optional function applied to the conv output while it is
+    still in PACKED form ([B, H/f, W/f, f²·cout], bias already added,
+    exact — sliced before any far-side zeros). Spatially
+    permutation-invariant consumers (instance-norm statistics, relu) run
+    here at full 128-lane occupancy (f²·cout lanes) instead of on the
+    half-lane unpacked slab; the depth-to-space unpack moves after.
     """
     k = kernel.shape[0]
     cin, cout = kernel.shape[2], kernel.shape[3]
@@ -310,6 +317,10 @@ def conv2d_s2d(x: jax.Array, kernel: jax.Array,
     k2 = k2.reshape(span, span, f * f * cin, f * f * cout)
     y2 = conv2d(xs, k2, None, 1)
     y2 = y2[:, :h // f, :w // f, :]
+    if post is not None:
+        if bias is not None:
+            y2 = y2 + jnp.tile(bias, f * f).astype(y2.dtype)
+        return depth_to_space(post(y2), f)
     y = depth_to_space(y2, f)
     if bias is not None:
         y = y + bias.astype(y.dtype)
@@ -342,6 +353,35 @@ def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     mean, var = _moments(xf, (1, 2))
     y = (xf - mean) * lax.rsqrt(var + eps)
     return y.astype(x.dtype)
+
+
+def packed_instance_norm(y2: jax.Array, f: int, cout: int,
+                         eps: float = 1e-5, relu: bool = False) -> jax.Array:
+    """Instance norm (+optional relu) on a PACKED s2d slab
+    [B, H/f, W/f, f²·cout] (phase-major channel order, as produced inside
+    conv2d_s2d). Per-channel statistics over (H, W) pixel space equal
+    statistics over (cells, phases) of the packed form — spatial
+    permutation invariance — so the norm runs at full f²·cout lane
+    occupancy instead of on the half-lane unpacked slab. Every full-slab
+    pass stays packed; only the [B, f²·cout] partial sums get the tiny
+    phase reduction. Exact vs instance_norm(depth_to_space(y2, f)) up to
+    f32 summation association."""
+    b, hh, ww, cpk = y2.shape
+    yf = y2.astype(jnp.float32)
+    s1 = jnp.sum(yf, axis=(1, 2))
+    s2 = jnp.sum(yf * yf, axis=(1, 2))
+    n = hh * ww * f * f
+    s1c = s1.reshape(b, f * f, cout).sum(1)
+    s2c = s2.reshape(b, f * f, cout).sum(1)
+    mean = s1c / n
+    var = jnp.maximum(s2c / n - mean * mean, 0.0)
+    scale = lax.rsqrt(var + eps)
+    mt = jnp.tile(mean, (1, f * f))[:, None, None, :]
+    st = jnp.tile(scale, (1, f * f))[:, None, None, :]
+    z = (yf - mt) * st
+    if relu:
+        z = jnp.maximum(z, 0.0)
+    return z.astype(y2.dtype)
 
 
 def adain(x: jax.Array, gamma: jax.Array, beta: jax.Array,

@@ -14,6 +14,7 @@ module state (replaces networks.py:230-239); norms compute statistics in f32.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax
@@ -100,7 +101,30 @@ class ConvBlock(nn.Module):
                                       self.stride, self.padding)
             if f:
                 # small-channel conv on a space-to-depth grid (exact; see
-                # ops.conv2d_s2d) — rescues the MXU-starved stem/output 7x7s
+                # ops.conv2d_s2d) — rescues the MXU-starved stem/output 7x7s.
+                # Instance-norm stats and elementwise activations are
+                # spatially permutation-invariant, so they run on the PACKED
+                # slab (full f²·cout lane occupancy vs the half-lane unpacked
+                # stem slab; +13% on the stem chain under grad,
+                # tools/stemprobe2.py) with the unpack moved after — exact.
+                post = None
+                if (pre_s2d is None and self.activ != "prelu"
+                        and self.norm in ("in", "none")
+                        and os.environ.get("MUNIT_PACKED_STEM", "1") == "1"):
+                    act = ops.activation(self.activ)
+                    if self.norm == "in":
+                        fr = self.activ == "relu"
+                        cout = self.out_dim
+
+                        def post(y2, _f=f, _fr=fr, _c=cout, _act=act):
+                            z = ops.packed_instance_norm(y2, _f, _c, relu=_fr)
+                            return z if _fr else _act(z)
+                    elif self.activ != "none":
+                        post = act
+                if post is not None:
+                    return ops.conv2d_s2d(x, kernel, bias, f=f,
+                                          pad=self.padding,
+                                          pad_type=self.pad_type, post=post)
                 x = ops.conv2d_s2d(x, kernel, bias, f=f, pad=self.padding,
                                    pad_type=self.pad_type, pre=pre_s2d)
             else:

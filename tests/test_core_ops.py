@@ -310,3 +310,63 @@ def test_depth_to_space_partial():
         assert part.shape == (2, 5 * f // g, 7 * f // g, g * g * 3)
         finished = ops.depth_to_space(part, g) if g > 1 else part
         np.testing.assert_array_equal(np.asarray(finished), np.asarray(full))
+
+
+def test_packed_instance_norm_exact():
+    """packed_instance_norm on an f-packed slab equals instance_norm on the
+    unpacked slab (spatial permutation invariance), incl. the fused relu."""
+    from munit_tpu.core import ops
+    rng = np.random.RandomState(3)
+    for f, c in [(2, 8), (4, 5)]:
+        y2 = jnp.asarray(rng.randn(2, 6, 6, f * f * c), jnp.float32)
+        ref = ops.instance_norm(ops.depth_to_space(y2, f))
+        got = ops.depth_to_space(ops.packed_instance_norm(y2, f, c), f)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+        ref_r = jnp.maximum(ref, 0.0)
+        got_r = ops.depth_to_space(
+            ops.packed_instance_norm(y2, f, c, relu=True), f)
+        np.testing.assert_allclose(np.asarray(got_r), np.asarray(ref_r),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_convblock_packed_stem_parity(monkeypatch):
+    """ConvBlock's packed-space norm/act path (MUNIT_PACKED_STEM, default on
+    for s2d-rescued convs) matches the unpacked path exactly — forward and
+    every-parameter gradients — for the stem (in+relu) and out-conv
+    (none+tanh) shapes."""
+    import flax.linen as nn
+    from munit_tpu.nn.blocks import ConvBlock
+    rng = np.random.RandomState(4)
+
+    cases = [
+        dict(out_dim=16, kernel_size=7, stride=1, padding=3,
+             norm="in", activ="relu", pad_type="reflect", cin=3),
+        dict(out_dim=3, kernel_size=7, stride=1, padding=3,
+             norm="none", activ="tanh", pad_type="reflect", cin=16),
+    ]
+    for case in cases:
+        cin = case.pop("cin")
+        x = jnp.asarray(rng.randn(2, 16, 16, cin), jnp.float32)
+        blk = ConvBlock(**case)
+        params = blk.init(jax.random.PRNGKey(0), x)
+
+        def run(p, t):
+            return blk.apply(p, t)
+
+        def loss(p, t):
+            return jnp.sum(run(p, t) ** 2)
+
+        monkeypatch.setenv("MUNIT_PACKED_STEM", "0")
+        ref = run(params, x)
+        gref = jax.grad(loss)(params, x)
+        monkeypatch.setenv("MUNIT_PACKED_STEM", "1")
+        got = run(params, x)
+        ggot = jax.grad(loss)(params, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5, err_msg=str(case))
+        jax.tree_util.tree_map(
+            lambda va, vb: np.testing.assert_allclose(
+                np.asarray(vb), np.asarray(va), rtol=2e-4, atol=2e-4,
+                err_msg=str(case)),
+            gref, ggot)
