@@ -141,6 +141,58 @@ def _pad_h(t: jax.Array, p: int) -> jax.Array:
     return jnp.concatenate(top + [t] + bot, axis=1)
 
 
+def packed_up_block(x: jax.Array,
+                    k5: jax.Array, b5: jax.Array,
+                    gamma: jax.Array, beta: jax.Array,
+                    activ: str = "relu",
+                    eps: float = _EPS) -> jax.Array:
+    """Exact single packed up stage (the tail's steps 1-3 + unpack):
+    upsample-2x -> pad-2 reflect 5x5 conv -> whole-LN -> act computed with
+    the phase-collapsed 3x3 conv (36% of the MACs, no upsampled-input
+    materialization) and packed-space LN/act, then depth-to-space back to
+    pixel form [B, 2H, 2W, cmid]. Used for the decoder's NON-last up
+    stages (e.g. up_0 at 256², ~10% of the fused train step), where the
+    next consumer needs pixel space."""
+    b, hs, ws, _ = x.shape
+    cmid = k5.shape[3]
+    act = ops.activation(activ)
+
+    kp = phase_collapse_kernel(k5)
+    y4 = ops.conv2d(ops.pad2d(x, 1, "reflect"), kp, None, 1)
+
+    # exact 1-cell border ring (see packed_decoder_tail step 2)
+    ut = ops.upsample_nearest(x[:, :2], 2)
+    ut = jnp.concatenate([ut[:, 2:3], ut[:, 1:2], ut], axis=1)
+    y_top = ops.conv2d(_pad_w(ut, 2), k5, None, 1)
+    ub = ops.upsample_nearest(x[:, -2:], 2)
+    ub = jnp.concatenate([ub, ub[:, 2:3], ub[:, 1:2]], axis=1)
+    y_bot = ops.conv2d(_pad_w(ub, 2), k5, None, 1)
+    ul = ops.upsample_nearest(x[:, :, :2], 2)
+    ul = jnp.concatenate([ul[:, :, 2:3], ul[:, :, 1:2], ul], axis=2)
+    y_left = ops.conv2d(_pad_h(ul, 2), k5, None, 1)
+    ur = ops.upsample_nearest(x[:, :, -2:], 2)
+    ur = jnp.concatenate([ur, ur[:, :, 2:3], ur[:, :, 1:2]], axis=2)
+    y_right = ops.conv2d(_pad_h(ur, 2), k5, None, 1)
+
+    p2 = lambda t: ops.space_to_depth(t, 2)
+    y4 = jnp.concatenate([p2(y_top), y4[:, 1:-1], p2(y_bot)], axis=1)
+    y4 = jnp.concatenate([p2(y_left), y4[:, :, 1:-1], p2(y_right)], axis=2)
+    y4 = y4 + jnp.tile(b5, 4).astype(y4.dtype)
+
+    # whole-LN + act in packed space (permutation-invariant stats)
+    n = hs * ws * 4 * cmid
+    yf = y4.astype(jnp.float32)
+    s1 = jnp.sum(yf, axis=(1, 2, 3), keepdims=True)
+    s2 = jnp.sum(yf * yf, axis=(1, 2, 3), keepdims=True)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    std = jnp.sqrt(var * (n / (n - 1)))
+    g4 = jnp.tile(gamma.astype(jnp.float32), 4)
+    b4 = jnp.tile(beta.astype(jnp.float32), 4)
+    z4 = act(((yf - mean) / (std + eps) * g4 + b4).astype(y4.dtype))
+    return ops.depth_to_space(z4, 2)
+
+
 def packed_decoder_tail(x: jax.Array,
                         k5: jax.Array, b5: jax.Array,
                         gamma: jax.Array, beta: jax.Array,

@@ -183,6 +183,24 @@ class Decoder(nn.Module):
                 out = _pt.packed_decoder_tail(x, k5, b5, g, b, k7, b7,
                                               activ=self.activ)
                 return ops.activation("tanh")(out)
+            # Non-last up stages: the same phase-collapse packed (one 3x3
+            # conv with 4x out channels — 36% of the MACs, no upsampled-
+            # input materialization — LN+act packed, then unpack since the
+            # next consumer needs pixel space). Exact; −10% on the up_0
+            # chain under grad (tools/upconvprobe2.py).
+            if (use_packed and not last
+                    and _os.environ.get("MUNIT_PACKED_UP", "1") == "1"
+                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+                    and x.shape[1] >= 8 and x.shape[2] >= 8):
+                up = ConvBlock(dim // 2, 5, 1, 2, norm="ln",
+                               activ=self.activ, pad_type=self.pad_type,
+                               kernel_init=self.kernel_init, name=f"up_{i}")
+                k5, b5, g, b = up(x, raw_params=True)
+                x = checkpoint_name(
+                    _pt.packed_up_block(x, k5, b5, g, b, activ=self.activ),
+                    "dec_up_act")
+                dim //= 2
+                continue
             # "dec_up_in": the nearest-upsampled conv input is the largest
             # decoder buffer held for the conv kernel-grad; under the "hd"
             # remat policy it is recomputed in the backward (recompute ≈ a

@@ -142,3 +142,40 @@ def test_decoder_auto_gate(monkeypatch):
     monkeypatch.setenv("MUNIT_PACKED_TAIL", "auto")
     got = dec.apply(params, x)
     assert float(jnp.max(jnp.abs(got - ref))) == 0.0
+
+
+def _production_up(x, k5, b5, gamma, beta, activ="relu"):
+    act = ops.activation(activ)
+    u = ops.upsample_nearest(x, 2)
+    y = ops.conv2d(ops.pad2d(u, 2, "reflect"), k5, b5, 1)
+    return act(ops.whole_layer_norm(y, gamma, beta))
+
+
+@pytest.mark.parametrize("hs,ws", [(8, 8), (8, 12), (20, 8)])
+def test_up_block_forward_exact(hs, ws):
+    from munit_tpu.core.packed_tail import packed_up_block
+    rng = np.random.RandomState(0)
+    x, k5, b5, gamma, beta, _, _ = _make(rng, 2, hs, ws)
+    ref = _production_up(x, k5, b5, gamma, beta)
+    got = packed_up_block(x, k5, b5, gamma, beta)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_up_block_grad_exact_all_params():
+    from munit_tpu.core.packed_tail import packed_up_block
+    rng = np.random.RandomState(1)
+    x, k5, b5, gamma, beta, _, _ = _make(rng, 2, 12, 8)
+    cot = jnp.asarray(rng.randn(2, 24, 16, 16), jnp.float32)
+
+    def loss(fn, *args):
+        return jnp.sum(fn(*args) * cot)
+
+    args = (x, k5, b5, gamma, beta)
+    gref = jax.grad(lambda *a: loss(_production_up, *a),
+                    argnums=tuple(range(5)))(*args)
+    ggot = jax.grad(lambda *a: loss(packed_up_block, *a),
+                    argnums=tuple(range(5)))(*args)
+    for i, (a, b) in enumerate(zip(gref, ggot)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-4, err_msg=f"arg {i}")
