@@ -11,7 +11,19 @@ from munit_tpu.data.datasets import (
     FidPairDataset, ImageFilelist, ImageFolder, ImageMaskDataset,
     SyntheticPairDataset,
 )
-from munit_tpu.data.loader import DataLoader
+from munit_tpu.data.loader import DataLoader as _ThreadedDataLoader
+
+
+def DataLoader(*args, **kwargs):
+    """Loader-backend selector: the in-house threaded loader by default;
+    MUNIT_LOADER=grain swaps in the Grain-backed one (process workers +
+    checkpointable iterator state — see data/grain_loader.py). Both take
+    the same arguments and yield the same dict-of-stacked-arrays batches."""
+    import os
+    if os.environ.get("MUNIT_LOADER", "threads") == "grain":
+        from munit_tpu.data.grain_loader import GrainDataLoader
+        return GrainDataLoader(*args, **kwargs)
+    return _ThreadedDataLoader(*args, **kwargs)
 
 
 def get_data_loader_list(root, file_list, batch_size, train, new_size=None,

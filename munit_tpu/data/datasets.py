@@ -36,6 +36,14 @@ class _DecodeCache:
         self.nbytes = 0
         self.lock = threading.Lock()
 
+    def __getstate__(self):
+        # Picklable into grain multiprocessing workers: ship the budget
+        # only — each worker warms its own cache for the records it owns.
+        return {"budget": self.budget}
+
+    def __setstate__(self, state):
+        self.__init__(state["budget"])
+
     def get(self, key):
         return self.data.get(key)
 
