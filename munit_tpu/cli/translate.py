@@ -76,6 +76,10 @@ def main(argv=None):
     p.add_argument("--output_folder", required=True)
     p.add_argument("--save_input", action="store_true")
     p.add_argument("--seed", type=int, default=10)
+    p.add_argument("--quant", choices=["none", "int8"], default="none",
+                   help="int8: calibrated-static W8A8 on the MXU-bound "
+                        "generator convs (small batch-8 win on current "
+                        "XLA, BENCH.md; outputs within ~1%% of bf16)")
     opts = p.parse_args(argv)
 
     conf = get_config(opts.config)
@@ -88,13 +92,41 @@ def main(argv=None):
     if not files:
         raise SystemExit("Image list is empty.")
 
+    from munit_tpu.core import ops
+    quant = opts.quant == "int8"
+
     style = load_image(opts.style, new_size)
     _, s_b = jax.jit(lambda x: gen.encode(params, x, 2))(style)
 
-    @jax.jit
-    def translate(x_a):
+    def body(x_a):
         c_a, _ = gen.encode(params, x_a, 1)
         return gen.decode(params, c_a, s_b, 2)
+
+    scales = None
+    if quant:
+        # calibrate per-site activation scales on the first real inputs
+        # (static W8A8; dynamic per-dispatch scales measured slower than
+        # bf16 e2e — BENCH.md)
+        @jax.jit
+        def record(x_a):
+            rec = []
+            with ops.conv_quant(record=rec):
+                out = body(x_a)
+            return out, jnp.stack(rec)
+
+        mx = None
+        for path in files[:8]:
+            _, m = record(load_image(path, new_size))
+            m = np.asarray(m)
+            mx = m if mx is None else np.maximum(mx, m)
+        scales = [1.1 * float(v) for v in mx]
+
+    @jax.jit
+    def translate(x_a):
+        if scales is not None:
+            with ops.conv_quant(scales=scales):
+                return body(x_a)
+        return body(x_a)
 
     for j, path in enumerate(files):
         x_a = load_image(path, new_size)

@@ -21,6 +21,7 @@ matters (see each docstring's file:line citation into /root/reference):
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -168,10 +169,138 @@ def set_conv_compute(dtype=None, precision=lax.Precision.HIGHEST):
     _CONV_DTYPE = dtype
 
 
+# --- int8 (W8A8) quantized convolutions — INFERENCE ONLY -------------------
+#
+# TPU v5e's MXU runs s8 x s8 -> s32 at ~2x the bf16 rate; measured on the
+# generator's shapes (tools/int8probe.py): up 5x5 convs 1.57-1.59x, res 3x3
+# 1.19x, stride-2 down convs a wash (data-bound). Three modes:
+# - dynamic: per-dispatch per-tensor activation scale (max|x|/127). Needs no
+#   calibration but the per-conv max-reduce + quantize passes cost more than
+#   the MXU win on this data-movement-bound net (measured e2e 2.38 vs
+#   1.49 ms/image, BENCH.md) — kept as the robust fallback.
+# - record: full-precision convs that also emit each site's max|x| (traced
+#   scalars appended to a caller list, in trace order) — the calibration
+#   pass.
+# - static: per-SITE activation scales baked as compile-time constants, so
+#   the quantize is a single fusable elementwise op and the max-reduce
+#   disappears. Sites are identified by trace-order index: tracing a fixed
+#   Python body is deterministic, so call N in calibration is call N in
+#   inference.
+# Weight scales are always per-output-channel from the kernel itself; when
+# params are closed over (the serving/CLI pattern), XLA constant-folds the
+# weight quantization at compile time. round() makes every mode except
+# 'record' non-differentiable: never enable during training.
+_QUANT_STATE: "dict | None" = None
+
+
+@contextlib.contextmanager
+def conv_quant(enabled: bool = True, scales=None,
+               record: "list | None" = None, all_convs: bool = False):
+    """Scope int8 quantized convs around a traced region.
+
+    The state is read at TRACE time, so wrapping the Python body of a jitted
+    function quantizes exactly the convs inside the scope (e.g. the
+    generator's encode/decode) while leaving co-traced models (inception,
+    VGG, segmenter) in full precision.
+
+    scales: sequence of per-site max|activation| floats (from a 'record'
+    calibration run) → static mode. record: a list to append traced per-site
+    max|x| scalars to → record mode. Neither → dynamic mode.
+    all_convs: bypass the _quant_worthwhile shape heuristic and quantize
+    every conv in scope (tests; A/B probes).
+    """
+    global _QUANT_STATE
+    old = _QUANT_STATE
+    if not enabled:
+        _QUANT_STATE = None
+    elif record is not None:
+        _QUANT_STATE = {"mode": "record", "record": record,
+                        "all": all_convs}
+    elif scales is not None:
+        _QUANT_STATE = {"mode": "static", "scales": list(scales), "idx": 0,
+                        "all": all_convs}
+    else:
+        _QUANT_STATE = {"mode": "dynamic", "all": all_convs}
+    try:
+        yield
+    finally:
+        _QUANT_STATE = old
+
+
+def _quant_worthwhile(x_shape, k_shape, stride: int) -> bool:
+    """Shape heuristic: quantize only convs where int8 measurably wins.
+
+    Measured (tools/int8probe.py / int8probe2.py, v5e): MXU-bound stride-1
+    convs with >=128 channels on both sides win 1.2-1.6x even with the
+    quantize/dequantize passes and materialized reflect pads in the chain;
+    stride-2 down convs are a wash and full-resolution small-channel convs
+    are data-bound, so their quantize pass is pure loss (the first e2e
+    attempt quantized everything and measured 1.3x SLOWER, BENCH.md).
+    """
+    kh, kw, cin, cout = k_shape
+    if stride != 1:
+        return False
+    if min(cin, cout) < 128:
+        return False
+    if x_shape[1] * x_shape[2] > 160 * 160:
+        return False  # full-res slabs: quantize traffic exceeds the MXU win
+    return True
+
+
+def _conv2d_int8(x: jax.Array, kernel: jax.Array, stride: int,
+                 dilation: int) -> jax.Array:
+    """W8A8: quantize, s8xs8->s32 conv, dequantize. Returns f32.
+
+    Exact whenever x and kernel already sit on their int8 grids (pinned by
+    tests/test_quant.py); otherwise introduces the usual <=0.5-ULP-of-scale
+    rounding per operand.
+    """
+    st = _QUANT_STATE
+    xf = x.astype(jnp.float32)
+    kf = kernel.astype(jnp.float32)
+    if st["mode"] == "static":
+        if st["idx"] >= len(st["scales"]):
+            raise ValueError(
+                f"conv_quant: site {st['idx']} has no calibrated scale "
+                f"({len(st['scales'])} recorded) — the traced body must "
+                "match the calibration body")
+        amax = max(float(st["scales"][st["idx"]]), 1e-6)
+        st["idx"] += 1
+        sx = jnp.float32(amax / 127.0)
+    else:
+        sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) / 127.0
+    sw = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    kq = jnp.clip(jnp.round(kf / sw), -127, 127).astype(jnp.int8)
+    y = lax.conv_general_dilated(
+        xq, kq,
+        window_strides=(stride, stride),
+        padding="VALID",
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=_DIMS,
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * (sx * sw)
+
+
 def conv2d(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None,
            stride: int = 1, precision=None, dilation: int = 1) -> jax.Array:
     """VALID conv over an already-padded NHWC input. kernel is HWIO."""
     out_dtype = x.dtype
+    if _QUANT_STATE is not None:
+        if _QUANT_STATE["mode"] == "record":
+            # record EVERY site (indices must line up with the static
+            # consumer, which advances one scale per conv call)
+            _QUANT_STATE["record"].append(
+                jnp.max(jnp.abs(x.astype(jnp.float32))))
+        elif (_QUANT_STATE["all"]
+              or _quant_worthwhile(x.shape, kernel.shape, stride)):
+            y = _conv2d_int8(x, kernel, stride, dilation).astype(out_dtype)
+            if bias is not None:
+                y = y + bias.astype(out_dtype)
+            return y
+        elif _QUANT_STATE["mode"] == "static":
+            _QUANT_STATE["idx"] += 1  # keep site indices aligned
     if _CONV_DTYPE is not None:
         x = x.astype(_CONV_DTYPE)
         kernel = kernel.astype(_CONV_DTYPE)

@@ -25,6 +25,7 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -56,10 +57,20 @@ class MicroBatcher:
     """
 
     def __init__(self, run_batch, max_batch: int = 8,
-                 max_wait_ms: float = 4.0):
+                 max_wait_ms: float = 4.0, adaptive: bool = True):
         self.run_batch = run_batch
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
+        # Adaptive wait: coalescing-by-waiting only pays during a burst
+        # (several requests in flight within ~one device step). Sparse
+        # traffic queues nothing in the wait window, so waiting is pure
+        # added latency; dense traffic queues during the PREVIOUS dispatch,
+        # so waiting is unnecessary. Track an inter-arrival EWMA and wait
+        # only while arrivals look bursty; a stale estimate (no arrival for
+        # >1s) resets to dispatch-immediately.
+        self.adaptive = adaptive
+        self._gap: Optional[float] = None
+        self._last_arrival: Optional[float] = None
         self.buckets = []
         b = 1
         while b < max_batch:
@@ -82,6 +93,15 @@ class MicroBatcher:
         with self._cv:
             if self._closed:
                 raise RuntimeError("batcher closed")
+            now = time.monotonic()
+            if self._last_arrival is not None:
+                d = now - self._last_arrival
+                if d < 1.0:
+                    self._gap = d if self._gap is None \
+                        else 0.8 * self._gap + 0.2 * d
+                else:
+                    self._gap = None  # idle era: stop predicting arrivals
+            self._last_arrival = now
             self._q.append(item)
             self._cv.notify_all()
         item["ev"].wait()
@@ -115,7 +135,15 @@ class MicroBatcher:
                     self._cv.wait()
                 if self._closed and not self._q:
                     return
-                deadline = time.monotonic() + self.max_wait
+                wait = self.max_wait
+                if self.adaptive:
+                    gap = self._gap
+                    if gap is None:
+                        wait = 0.0  # sparse traffic: no burst to wait for
+                    else:
+                        need = self.max_batch - len(self._q)
+                        wait = min(self.max_wait, gap * max(need, 0) + gap)
+                deadline = time.monotonic() + wait
                 while (len(self._q) < self.max_batch and not self._closed):
                     left = deadline - time.monotonic()
                     if left <= 0:
@@ -157,18 +185,35 @@ class TranslationService:
     """Owns the generator params, style codes, and the jitted step."""
 
     def __init__(self, conf: Dict, gen_params, new_size: Optional[int] = None,
-                 max_batch: int = 1, max_wait_ms: float = 4.0):
+                 max_batch: int = 1, max_wait_ms: float = 4.0,
+                 quant: str = "none"):
+        from munit_tpu.core import ops
         from munit_tpu.train import GenBundle
         self.conf = conf
         self.gen = GenBundle(conf)
         self.params = gen_params
         self.new_size = new_size or conf["new_size"]
+        self.quant = quant == "int8"
+        self._scales = None  # per-site activation maxima (int8 calibration)
         self.styles: Dict[str, jax.Array] = {}
+        self._style_imgs: Dict[str, jax.Array] = {}
         self._lock = threading.Lock()
 
-        def _translate(x_a, s_b):
+        def _body(x_a, s_b):
             c_a, _ = self.gen.encode(self.params, x_a, 1)
             return self.gen.decode(self.params, c_a, s_b, 2)
+
+        self._body = _body
+
+        def _translate(x_a, s_b):
+            # static W8A8: per-site scales are baked at trace time (warmup
+            # calibrates before the first translate trace). Dynamic mode
+            # measured SLOWER than bf16 e2e (BENCH.md) — int8 here always
+            # means calibrated-static.
+            if self.quant and self._scales is not None:
+                with ops.conv_quant(scales=self._scales):
+                    return _body(x_a, s_b)
+            return _body(x_a, s_b)
 
         self._translate = jax.jit(_translate)
         self._encode_style = jax.jit(
@@ -187,11 +232,43 @@ class TranslationService:
         return jnp.asarray(T.normalize_pm1(T.to_array01(img)))[None]
 
     def add_style(self, name: str, exemplar: Image.Image):
-        self.styles[name] = self._encode_style(self._prep(exemplar))
+        prepped = self._prep(exemplar)
+        self._style_imgs[name] = prepped
+        self.styles[name] = self._encode_style(prepped)
+
+    def calibrate(self, images=None):
+        """Record per-site activation maxima for the static-int8 path.
+
+        images: iterable of PIL images to use as content; defaults to the
+        style exemplars (real photos of the target domains). Call before
+        warmup(); warmup() calls this automatically when needed.
+        """
+        from munit_tpu.core import ops as _ops
+        if not self.quant:
+            return
+        arrs = ([self._prep(im) for im in images] if images
+                else list(self._style_imgs.values()))
+        if not arrs:
+            raise RuntimeError("int8 calibration needs at least one style")
+        x = jnp.concatenate(arrs, axis=0)
+        s1 = next(iter(self.styles.values()))
+        s = jnp.concatenate([s1] * x.shape[0], axis=0)
+
+        @jax.jit
+        def record(x, s):
+            rec = []
+            with _ops.conv_quant(record=rec):
+                out = self._body(x, s)
+            return out, jnp.stack(rec)
+
+        _, mx = record(x, s)
+        self._scales = [1.1 * float(v) for v in np.asarray(mx)]
 
     def warmup(self):
         if not self.styles:
             return
+        if self.quant and self._scales is None:
+            self.calibrate()
         s1 = next(iter(self.styles.values()))
         sizes = self.batcher.buckets if self.batcher else [1]
         for b in sizes:  # pre-compile every serving batch shape
@@ -296,6 +373,11 @@ def main(argv=None):
                    help="micro-batcher cap (1 disables batching)")
     p.add_argument("--max-wait-ms", type=float, default=4.0,
                    help="max coalescing wait after the first request")
+    p.add_argument("--quant", choices=["none", "int8"], default="none",
+                   help="int8: calibrated-static W8A8 generator convs")
+    p.add_argument("--calib-dir", default=None,
+                   help="folder of content images for int8 calibration "
+                        "(default: the style exemplars)")
     opts = p.parse_args(argv)
 
     from munit_tpu.cli.translate import load_gen_params
@@ -303,7 +385,7 @@ def main(argv=None):
     conf = get_config(opts.config)
     svc = TranslationService(conf, load_gen_params(opts.checkpoint, conf),
                              max_batch=opts.max_batch,
-                             max_wait_ms=opts.max_wait_ms)
+                             max_wait_ms=opts.max_wait_ms, quant=opts.quant)
     for i, spec in enumerate(opts.style):
         name, _, path = spec.rpartition("=")
         img = Image.open(path or spec)
@@ -311,6 +393,10 @@ def main(argv=None):
             svc.add_style("default", img)
         if name:
             svc.add_style(name, img)
+    if opts.quant == "int8" and opts.calib_dir:
+        import glob as _glob
+        paths = sorted(_glob.glob(os.path.join(opts.calib_dir, "*")))[:8]
+        svc.calibrate([Image.open(pth) for pth in paths])
     svc.warmup()
     server = serve(svc, opts.port)
     print(f"serving on :{opts.port}")

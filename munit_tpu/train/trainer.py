@@ -275,6 +275,10 @@ class MUNITTrainer:
         # two separate steps (identical math & rng stream).
         self.fused = _os.environ.get(
             "MUNIT_FUSED", str(conf.get("fused", 1))) in ("1", 1, True)
+        # Opt-in: int8 generator forward in the dis-only steps (the fakes
+        # are detached there; see _dis_step_impl). Deviates from reference
+        # numerics — never the default, never set by any shipped config.
+        self.int8_dis_fakes = _os.environ.get("MUNIT_INT8_DIS", "0") == "1"
 
         self.gen = GenBundle(conf, remat=remat)
         d = conf["dis"]
@@ -552,7 +556,14 @@ class MUNITTrainer:
         s_a = jax.random.normal(k1, (bsz, self.style_dim), x_a.dtype)
         s_b = jax.random.normal(k2, (bsz, self.style_dim), x_b.dtype)
 
-        *_, x_ba, x_ab = self._cross_decode(state["gen"], x_a, x_b, s_a, s_b)
+        # The dis step's generator forward is pure inference (the fakes are
+        # detached below, trainer.py:1178) — MUNIT_INT8_DIS=1 opts it into
+        # the dynamic-W8A8 quantized convs (core/ops.py conv_quant). OFF by
+        # default: the fakes the discriminator trains on then differ from
+        # the reference's bf16/f32 numerics by the ~1% quantization error.
+        with ops.conv_quant(self.int8_dis_fakes):
+            *_, x_ba, x_ab = self._cross_decode(state["gen"], x_a, x_b,
+                                                s_a, s_b)
         x_ba = jax.lax.stop_gradient(x_ba)   # ≙ .detach() trainer.py:1178
         x_ab = jax.lax.stop_gradient(x_ab)
 

@@ -17,7 +17,7 @@ from munit_tpu.train import GenBundle
 from tests import torch_mirror as tm
 
 
-def make_service(max_batch=1, max_wait_ms=4.0):
+def make_service(max_batch=1, max_wait_ms=4.0, quant="none"):
     conf = validate({
         "gen_state": 1, "guided": 1, "new_size": 32,
         "crop_image_height": 32, "crop_image_width": 32,
@@ -34,7 +34,7 @@ def make_service(max_batch=1, max_wait_ms=4.0):
     params = gen.module.init(jax.random.PRNGKey(0),
                              jnp.zeros((1, 32, 32, 3)), method=touch)["params"]
     svc = TranslationService(conf, params, max_batch=max_batch,
-                             max_wait_ms=max_wait_ms)
+                             max_wait_ms=max_wait_ms, quant=quant)
     rng = np.random.RandomState(0)
     svc.add_style("default",
                   Image.fromarray(rng.randint(0, 255, (40, 40, 3), np.uint8)))
@@ -48,6 +48,17 @@ def test_service_translate_direct():
     out = svc.translate(
         Image.fromarray(rng.randint(0, 255, (48, 52, 3), np.uint8)))
     assert out.size == (32, 32)
+
+
+def test_service_quant_int8_close_to_full_precision():
+    svc = make_service()
+    svcq = make_service(quant="int8")
+    rng = np.random.RandomState(7)
+    img = Image.fromarray(rng.randint(0, 255, (48, 52, 3), np.uint8))
+    a = np.asarray(svc.translate(img), np.int16)
+    b = np.asarray(svcq.translate(img), np.int16)
+    # uint8 images after min-max normalize: demand sub-perceptual agreement
+    assert np.abs(a - b).mean() < 4.0, np.abs(a - b).mean()
 
 
 def test_microbatcher_coalesces_and_matches_unbatched():
@@ -80,6 +91,22 @@ def test_microbatcher_coalesces_and_matches_unbatched():
     assert st["requests"] == 8
     assert st["batches"] < 8, f"no coalescing happened: {st}"
     svcb.batcher.close()
+
+
+def test_microbatcher_adaptive_no_wait_when_idle():
+    """Sparse traffic must not pay the coalescing wait: a lone request
+    through a batcher with a huge max_wait returns ~immediately."""
+    import time as _t
+    from munit_tpu.serve import MicroBatcher
+
+    mb = MicroBatcher(lambda x, s: np.asarray(x) * 2.0,
+                      max_batch=8, max_wait_ms=5000.0)
+    t0 = _t.monotonic()
+    out = mb.submit(np.ones((1, 2, 2, 3), np.float32), np.zeros((1, 4)))
+    dt = _t.monotonic() - t0
+    assert np.array_equal(out, np.full((1, 2, 2, 3), 2.0, np.float32))
+    assert dt < 1.0, f"idle request waited {dt:.2f}s for coalescing"
+    mb.close()
 
 
 def test_microbatcher_pads_to_bucket_and_fans_out_errors():

@@ -26,16 +26,47 @@ def main():
     conf = validate({"gen_state": 1, "guided": 1})
     tr = MUNITTrainer(conf, jax.random.PRNGKey(0), image_size=256)
     gen, params = tr.gen, tr.state["gen"]
+    # BENCH_QUANT: "" (bf16), "dynamic" (per-dispatch scales), or "static"
+    # (one record pass bakes per-site scales as constants)
+    quant = os.environ.get("BENCH_QUANT", "")
+    if quant == "1":
+        quant = "dynamic"
 
-    @jax.jit
-    def translate(x_a, style_img):
+    def body(x_a, style_img):
         c_a, _ = gen.encode(params, x_a, 1)
         _, s_b = gen.encode(params, style_img, 2)
         return gen.decode(params, c_a, s_b, 2)
 
+    scales = None
+    if quant == "static":
+        rng0 = np.random.RandomState(42)
+
+        @jax.jit
+        def record(x_a, style_img):
+            rec = []
+            with ops.conv_quant(record=rec):
+                out = body(x_a, style_img)
+            return out, jnp.stack(rec)
+
+        import jax.numpy as jnp  # noqa: F811 (local clarity)
+        _, mx = record(
+            jnp.asarray(rng0.randn(8, 256, 256, 3).astype(np.float32)),
+            jnp.asarray(rng0.randn(8, 256, 256, 3).astype(np.float32)))
+        scales = [1.1 * float(v) for v in np.asarray(mx)]  # 10% headroom
+
+    @jax.jit
+    def translate(x_a, style_img):
+        if quant == "static":
+            with ops.conv_quant(scales=scales):
+                return body(x_a, style_img)
+        with ops.conv_quant(quant == "dynamic"):
+            return body(x_a, style_img)
+
     rng = np.random.RandomState(0)
     results = {}
-    for batch in (1, 8, 32):
+    batches = tuple(int(b) for b in
+                    os.environ.get("BENCH_BATCHES", "1,8,32").split(","))
+    for batch in batches:
         x = jnp.asarray(rng.randn(batch, 256, 256, 3).astype(np.float32))
         s = jnp.asarray(rng.randn(batch, 256, 256, 3).astype(np.float32))
         out = translate(x, s)
