@@ -57,9 +57,11 @@ class MicroBatcher:
     """
 
     def __init__(self, run_batch, max_batch: int = 8,
-                 max_wait_ms: float = 4.0, adaptive: bool = True):
+                 max_wait_ms: float = 4.0, adaptive: bool = True,
+                 min_batch: int = 1):
         self.run_batch = run_batch
         self.max_batch = max_batch
+        self.min_batch = max(1, min_batch)  # mesh serving: multiple of n_dev
         self.max_wait = max_wait_ms / 1e3
         # Adaptive wait: coalescing-by-waiting only pays during a burst
         # (several requests in flight within ~one device step). Sparse
@@ -72,11 +74,12 @@ class MicroBatcher:
         self._gap: Optional[float] = None
         self._last_arrival: Optional[float] = None
         self.buckets = []
-        b = 1
+        b = self.min_batch
         while b < max_batch:
             self.buckets.append(b)
             b *= 2
-        self.buckets.append(max_batch)
+        if not self.buckets or self.buckets[-1] != max_batch:
+            self.buckets.append(max_batch)
         self._q: List[dict] = []
         self._cv = threading.Condition()
         self._closed = False
@@ -186,7 +189,7 @@ class TranslationService:
 
     def __init__(self, conf: Dict, gen_params, new_size: Optional[int] = None,
                  max_batch: int = 1, max_wait_ms: float = 4.0,
-                 quant: str = "none"):
+                 quant: str = "none", mesh: str = "auto"):
         from munit_tpu.core import ops
         from munit_tpu.train import GenBundle
         self.conf = conf
@@ -198,6 +201,23 @@ class TranslationService:
         self.styles: Dict[str, jax.Array] = {}
         self._style_imgs: Dict[str, jax.Array] = {}
         self._lock = threading.Lock()
+
+        # Data-parallel serving: with >1 chip visible, shard every batched
+        # dispatch over a (data,) mesh — params replicated, batch split
+        # over ICI-connected chips, XLA inserts no collectives for pure
+        # inference (every sample is independent). "auto" uses all devices.
+        self.mesh = None
+        self.n_dev = 1
+        if mesh != "off" and len(jax.devices()) > 1:
+            from munit_tpu.dist import mesh as M
+            self.mesh = M.make_mesh()
+            self.n_dev = self.mesh.shape["data"]
+            self._dsh = M.data_sharding(self.mesh)
+            self.params = jax.device_put(self.params, M.replicated(self.mesh))
+            if max_batch > 1:  # batched serving: buckets must fill the mesh
+                max_batch = max(max_batch, self.n_dev)
+                if max_batch % self.n_dev:
+                    max_batch += self.n_dev - max_batch % self.n_dev
 
         def _body(x_a, s_b):
             c_a, _ = self.gen.encode(self.params, x_a, 1)
@@ -215,13 +235,44 @@ class TranslationService:
                     return _body(x_a, s_b)
             return _body(x_a, s_b)
 
-        self._translate = jax.jit(_translate)
-        self._encode_style = jax.jit(
-            lambda x: self.gen.encode(self.params, x, 2)[1])
+        if self.mesh is not None:
+            from munit_tpu.dist import mesh as M
+            self._translate = jax.jit(
+                _translate, in_shardings=(self._dsh, self._dsh),
+                out_shardings=self._dsh)
+            # style encode runs once per style: replicate the batch-1 input
+            self._encode_style = jax.jit(
+                lambda x: self.gen.encode(self.params, x, 2)[1],
+                in_shardings=M.replicated(self.mesh),
+                out_shardings=M.replicated(self.mesh))
+        else:
+            self._translate = jax.jit(_translate)
+            self._encode_style = jax.jit(
+                lambda x: self.gen.encode(self.params, x, 2)[1])
         self.batcher: Optional[MicroBatcher] = None
         if max_batch > 1:
-            self.batcher = MicroBatcher(self._translate, max_batch,
-                                        max_wait_ms)
+            self.batcher = MicroBatcher(self._run_padded, max_batch,
+                                        max_wait_ms, min_batch=self.n_dev)
+
+    def _run_padded(self, x, s):
+        """Pad the batch to a multiple of the mesh's data axis, dispatch,
+        slice back. No-op padding on a single device."""
+        n = x.shape[0]
+        b = -(-n // self.n_dev) * self.n_dev
+        if b > n:
+            x = jnp.concatenate(
+                [jnp.asarray(x), jnp.repeat(jnp.asarray(x[-1:]), b - n,
+                                            axis=0)], axis=0)
+            s = jnp.concatenate([s, jnp.repeat(s[-1:], b - n, axis=0)],
+                                axis=0)
+        x = jnp.asarray(x)
+        if self.mesh is not None:
+            # style codes come out of _encode_style REPLICATED; jit rejects
+            # committed arrays whose sharding differs from in_shardings
+            x = jax.device_put(x, self._dsh)
+            s = jax.device_put(s, self._dsh)
+        y = self._translate(x, s)
+        return y[:n] if b > n else y
 
     def _prep(self, img: Image.Image) -> jax.Array:
         from munit_tpu.data import transforms as T
@@ -251,8 +302,14 @@ class TranslationService:
         if not arrs:
             raise RuntimeError("int8 calibration needs at least one style")
         x = jnp.concatenate(arrs, axis=0)
+        if x.shape[0] % self.n_dev:
+            pad = self.n_dev - x.shape[0] % self.n_dev
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
         s1 = next(iter(self.styles.values()))
         s = jnp.concatenate([s1] * x.shape[0], axis=0)
+        if self.mesh is not None:
+            x = jax.device_put(x, self._dsh)
+            s = jax.device_put(s, self._dsh)
 
         @jax.jit
         def record(x, s):
@@ -270,10 +327,14 @@ class TranslationService:
         if self.quant and self._scales is None:
             self.calibrate()
         s1 = next(iter(self.styles.values()))
-        sizes = self.batcher.buckets if self.batcher else [1]
+        sizes = (self.batcher.buckets if self.batcher
+                 else [self.n_dev])  # direct path pads 1 -> n_dev
         for b in sizes:  # pre-compile every serving batch shape
             x = jnp.zeros((b, self.new_size, self.new_size, 3))
             s = jnp.concatenate([s1] * b, axis=0)
+            if self.mesh is not None:
+                x = jax.device_put(x, self._dsh)
+                s = jax.device_put(s, self._dsh)
             jax.block_until_ready(self._translate(x, s))
 
     def translate(self, img: Image.Image, style: str = "default") -> Image.Image:
@@ -283,8 +344,8 @@ class TranslationService:
             out = self.batcher.submit(np.asarray(self._prep(img)),
                                       self.styles[style])
         else:
-            with self._lock:  # single-accelerator; serialize device access
-                out = self._translate(self._prep(img), self.styles[style])
+            with self._lock:  # single program stream; serialize dispatch
+                out = self._run_padded(self._prep(img), self.styles[style])
         arr = np.asarray((out[0] + 1.0) * 0.5)
         lo, hi = arr.min(), arr.max()
         arr = (arr - lo) / max(hi - lo, 1e-5)
@@ -301,6 +362,7 @@ def _make_handler(service: TranslationService):
                 body = json.dumps({
                     "status": "ok",
                     "device": str(jax.devices()[0]),
+                    "n_devices": service.n_dev,
                     "styles": sorted(service.styles),
                     "batching": service.batcher is not None,
                 }).encode()
@@ -378,6 +440,9 @@ def main(argv=None):
     p.add_argument("--calib-dir", default=None,
                    help="folder of content images for int8 calibration "
                         "(default: the style exemplars)")
+    p.add_argument("--mesh", choices=["auto", "off"], default="auto",
+                   help="auto: shard batched dispatches over all visible "
+                        "chips (data-parallel serving)")
     opts = p.parse_args(argv)
 
     from munit_tpu.cli.translate import load_gen_params
@@ -385,7 +450,8 @@ def main(argv=None):
     conf = get_config(opts.config)
     svc = TranslationService(conf, load_gen_params(opts.checkpoint, conf),
                              max_batch=opts.max_batch,
-                             max_wait_ms=opts.max_wait_ms, quant=opts.quant)
+                             max_wait_ms=opts.max_wait_ms, quant=opts.quant,
+                             mesh=opts.mesh)
     for i, spec in enumerate(opts.style):
         name, _, path = spec.rpartition("=")
         img = Image.open(path or spec)

@@ -17,7 +17,7 @@ from munit_tpu.train import GenBundle
 from tests import torch_mirror as tm
 
 
-def make_service(max_batch=1, max_wait_ms=4.0, quant="none"):
+def make_service(max_batch=1, max_wait_ms=4.0, quant="none", mesh="off"):
     conf = validate({
         "gen_state": 1, "guided": 1, "new_size": 32,
         "crop_image_height": 32, "crop_image_width": 32,
@@ -34,7 +34,7 @@ def make_service(max_batch=1, max_wait_ms=4.0, quant="none"):
     params = gen.module.init(jax.random.PRNGKey(0),
                              jnp.zeros((1, 32, 32, 3)), method=touch)["params"]
     svc = TranslationService(conf, params, max_batch=max_batch,
-                             max_wait_ms=max_wait_ms, quant=quant)
+                             max_wait_ms=max_wait_ms, quant=quant, mesh=mesh)
     rng = np.random.RandomState(0)
     svc.add_style("default",
                   Image.fromarray(rng.randint(0, 255, (40, 40, 3), np.uint8)))
@@ -48,6 +48,43 @@ def test_service_translate_direct():
     out = svc.translate(
         Image.fromarray(rng.randint(0, 255, (48, 52, 3), np.uint8)))
     assert out.size == (32, 32)
+
+
+def test_mesh_sharded_serving_matches_single_device():
+    """Data-parallel serving on the fake 8-device mesh: batched dispatches
+    shard over the data axis; direct (batch-1) requests pad to n_dev and
+    slice back. Outputs must match the single-device service."""
+    svc1 = make_service(mesh="off")
+    svcm = make_service(max_batch=8, max_wait_ms=20.0, mesh="auto")
+    assert svcm.n_dev == 8
+    assert svcm.batcher.buckets == [8]
+    rng = np.random.RandomState(11)
+    imgs = [Image.fromarray(rng.randint(0, 255, (48, 52, 3), np.uint8))
+            for _ in range(5)]
+    singles = [svc1.translate(im) for im in imgs]
+
+    outs = [None] * len(imgs)
+
+    def worker(i):
+        outs[i] = svcm.translate(imgs[i])
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(imgs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for got, want in zip(outs, singles):
+        a, b = np.asarray(got, np.int16), np.asarray(want, np.int16)
+        assert np.abs(a - b).max() <= 1
+
+    # direct (no-batcher) mesh service: pads 1 -> 8 under the hood
+    svcd = make_service(mesh="auto")
+    assert svcd.batcher is None and svcd.n_dev == 8
+    got = np.asarray(svcd.translate(imgs[0]), np.int16)
+    want = np.asarray(singles[0], np.int16)
+    assert np.abs(got - want).max() <= 1
+    svcm.batcher.close()
 
 
 def test_service_quant_int8_close_to_full_precision():
