@@ -68,7 +68,7 @@ def cmd_pack(opts):
 
     conf = get_config(opts.config)
     params = load_gen_params(opts.ckpt, conf)
-    save_inference_params(opts.out, params)
+    save_inference_params(opts.out, params, quant=opts.quant)
     print(f"packed → {opts.out} ({os.path.getsize(opts.out) / 1e6:.1f} MB)")
 
 
@@ -90,6 +90,9 @@ def main(argv=None):
     k.add_argument("--ckpt", required=True,
                    help="orbax dir, reference .pt, or inference .npz")
     k.add_argument("--out", required=True)
+    k.add_argument("--quant", choices=["bf16", "int8"], default="bf16",
+                   help="weight storage: bf16 (0.5x f32, lossless on TPU) "
+                        "or int8 (0.25x, per-channel scales, ~0.4%% RMS)")
     opts = p.parse_args(argv)
     {"import": cmd_import, "export": cmd_export, "pack": cmd_pack}[opts.cmd](opts)
 
