@@ -41,6 +41,9 @@ def main(argv=None):
     p.add_argument("--trainer", default="MUNIT", choices=["MUNIT", "UNIT"])
     p.add_argument("--inception_ckpt", default=None,
                    help="pickle/torch .pt with fine-tuned InceptionV3 weights")
+    p.add_argument("--mesh", choices=["off", "auto"], default="off",
+                   help="auto: shard the num_style-wide decode over all "
+                        "visible chips (data-parallel batch inference)")
     opts = p.parse_args(argv)
 
     conf = get_config(opts.config)
@@ -77,13 +80,45 @@ def main(argv=None):
         params = load_gen_params(opts.checkpoint, conf)
         enc_dom, dec_dom = (1, 2) if opts.a2b else (2, 1)
 
-        @jax.jit
-        def translate(x, styles):
+        # --mesh auto: the num_style-wide decode is an independent batch —
+        # shard it over a (data,) mesh (params replicated, content encode
+        # replicated, per-style decodes split across chips).
+        mesh = None
+        n_dev = 1
+        if opts.mesh == "auto" and len(jax.devices()) > 1:
+            from munit_tpu.dist import mesh as M
+            mesh = M.make_mesh()
+            n_dev = mesh.shape["data"]
+            params = jax.device_put(params, M.replicated(mesh))
+
+        def _translate(x, styles):
             # one batched decode over all styles (the reference loops per
             # style at batch 1, test_batch.py:162-164)
             c, _ = gen.encode(params, x, enc_dom)
-            c_rep = jnp.repeat(c, opts.num_style, axis=0)
+            c_rep = jnp.repeat(c, styles.shape[0], axis=0)
             return gen.decode(params, c_rep, styles, dec_dom)
+
+        if mesh is not None:
+            from munit_tpu.dist import mesh as M
+            translate_j = jax.jit(
+                _translate,
+                in_shardings=(M.replicated(mesh), M.data_sharding(mesh)),
+                out_shardings=M.data_sharding(mesh))
+        else:
+            translate_j = jax.jit(_translate)
+
+        def translate(x, styles):
+            s = styles.shape[0]
+            pad = (-s) % n_dev
+            if pad:
+                styles = jnp.concatenate(
+                    [styles, jnp.repeat(styles[-1:], pad, axis=0)], axis=0)
+            if mesh is not None:
+                from munit_tpu.dist import mesh as M
+                x = jax.device_put(x, M.replicated(mesh))
+                styles = jax.device_put(styles, M.data_sharding(mesh))
+            y = translate_j(x, styles)
+            return y[:s] if pad else y
 
     inception_apply = None
     if opts.compute_IS or opts.compute_CIS:

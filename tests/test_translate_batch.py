@@ -46,6 +46,19 @@ def test_translate_batch_cli(tmp_path):
         files = sorted(os.listdir(f"{out}_{j:02d}"))
         assert files == ["x0.png", "x1.png"]
 
+    # --mesh auto on the fake 8-device backend: num_style=3 pads to 8,
+    # shards the decode, and must write byte-equal outputs
+    outm = str(tmp_path / "outm")
+    main(["--config", str(cpath), "--checkpoint", str(ckpt),
+          "--input_folder", str(indir), "--output_folder", outm,
+          "--num_style", "3", "--output_only", "--seed", "5",
+          "--mesh", "auto"])
+    for j in range(3):
+        for name in ("x0.png", "x1.png"):
+            a = np.asarray(Image.open(f"{out}_{j:02d}/{name}"), np.int16)
+            b = np.asarray(Image.open(f"{outm}_{j:02d}/{name}"), np.int16)
+            assert np.abs(a - b).max() <= 1
+
 
 def test_batched_multi_style_decode_matches_loop():
     from munit_tpu.config import validate
