@@ -190,10 +190,27 @@ def main(argv=None):
     tloaders = get_all_data_loaders(conf, seed=opts.seed)
     display_batches = tuple(take(l) for l in tloaders)
 
-    train_loop(trainer, conf, loaders, output_directory, logger,
-               start_iteration=start, display_batches=display_batches,
-               mesh=mesh, time_steps=opts.time_steps,
-               profile=(start + 2, opts.profile) if opts.profile else None)
+    # Graceful preemption (SURVEY §5.3): on SIGTERM/SIGINT the loop
+    # snapshots the full trainer state (params + ExtraAdam moments +
+    # extrapolation copy + rng) and exits 0; restart with --resume.
+    import signal
+    import threading
+    stop = threading.Event()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, lambda *_: stop.set())
+        except ValueError:
+            pass  # not the main thread (e.g. driven from a test harness)
+
+    end = train_loop(trainer, conf, loaders, output_directory, logger,
+                     start_iteration=start,
+                     display_batches=display_batches,
+                     mesh=mesh, time_steps=opts.time_steps,
+                     profile=(start + 2, opts.profile) if opts.profile
+                     else None, stop=stop)
+    if stop.is_set():
+        print(f"preempted at iteration {end}; state saved — "
+              "restart with --resume to continue exactly")
 
 
 if __name__ == "__main__":

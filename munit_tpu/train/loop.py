@@ -42,12 +42,17 @@ def train_loop(trainer, conf, loaders, output_directory: str,
                display_batches=None,
                mesh=None,
                time_steps: bool = False,
-               profile: Optional[tuple] = None):
+               profile: Optional[tuple] = None,
+               stop=None):
     """loaders: dict with 'a', 'b' (image+mask loaders) and optionally
     'synth'. display_batches: optional (train_a, train_b, test_a, test_b)
     numpy arrays for grid dumps. profile: optional (first_iteration,
     n_steps) window captured with jax.profiler into
-    ``output_directory/trace`` (SURVEY §5.1)."""
+    ``output_directory/trace`` (SURVEY §5.1). stop: optional
+    threading.Event — graceful preemption (SURVEY §5.3): when set
+    (cli/train installs it on SIGTERM/SIGINT), the loop snapshots the
+    full trainer state and returns; ``--resume`` continues exactly
+    (tests/test_resume_exact.py covers mid-extrapolation restores)."""
     logger = logger or MetricLogger(output_directory)
     ckpt_dir = os.path.join(output_directory, "checkpoints")
     img_dir = os.path.join(output_directory, "images")
@@ -189,6 +194,15 @@ def train_loop(trainer, conf, loaders, output_directory: str,
                 logger.log_metrics({"FID": fid}, iterations + 1)
 
         iterations += 1
+        if stop is not None and stop.is_set():
+            if ckpt_writer is None:
+                from munit_tpu.io.checkpoint import CheckpointWriter
+                ckpt_writer = CheckpointWriter(
+                    ckpt_dir, keep=conf.get("snapshot_keep"),
+                    async_io=False)  # shutdown path: write synchronously
+            ckpt_writer.save(trainer.state, iterations)
+            logger.log_metrics({"preempted": 1.0}, iterations)
+            break
     if profiling:
         from munit_tpu.utils.profiling import stop_trace
         stop_trace()

@@ -115,3 +115,37 @@ def test_output_sr_cadence():
     calls = run({"adaptation": {"output_classifier_lambda": 1.0,
                                 "output_classif_freq": 3}})
     assert [it for it, n in calls if n == "out_sr"] == [2, 5]
+
+
+def test_graceful_preemption_snapshots_and_stops(tmp_path):
+    """SURVEY §5.3: when the stop event fires, the loop writes a full
+    snapshot at the current iteration and returns (cli/train installs the
+    event on SIGTERM/SIGINT; exact-resume fidelity is covered by
+    tests/test_resume_exact.py)."""
+    import os
+    import threading
+
+    from munit_tpu.train.loop import train_loop as _loop
+
+    conf = validate({
+        "ratio_disc_gen": 3, "log_iter": 100, "snapshot_save_iter": 1000,
+        "image_save_iter": 1000, "image_display_iter": 1000,
+    })
+    stop = threading.Event()
+    tr = SpyTrainer(conf)
+
+    orig = tr.dis_update
+
+    def dis_and_maybe_stop(*a, **k):
+        out = orig(*a, **k)
+        if tr.iterations == 3:
+            stop.set()  # "SIGTERM" lands during iteration 3
+        return out
+
+    tr.dis_update = dis_and_maybe_stop
+    out = str(tmp_path / "run")
+    end = _loop(tr, conf, {"a": FakeLoader(), "b": FakeLoader()}, out,
+                max_iter=100, stop=stop)
+    assert end == 4  # stopped right after the interrupted iteration
+    ckpts = os.listdir(os.path.join(out, "checkpoints"))
+    assert any("4" in c for c in ckpts), ckpts
