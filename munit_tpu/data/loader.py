@@ -64,6 +64,15 @@ class DataLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         return self._iterate(single_epoch=False)
 
+    def iter_from(self, start_batch: int) -> Iterator[Dict[str, np.ndarray]]:
+        """The infinite stream as if ``start_batch`` batches were already
+        consumed — exact data-order resume after a checkpoint restore. The
+        per-(seed, epoch, index) RNG scheme makes skipping pure arithmetic:
+        no decode work happens for skipped batches. (The reference restarts
+        its DataLoader order from scratch on --resume, re-showing early
+        samples; this deviation is an improvement, documented here.)"""
+        return self._iterate(single_epoch=False, start_batch=start_batch)
+
     def _in_flight_window(self) -> int:
         """Max decode futures submitted but not yet consumed. Bounds worker
         RAM to O(window + prefetch·batch) decoded samples — the reference's
@@ -72,17 +81,22 @@ class DataLoader:
         epochs up front, accumulating an epoch of decoded crops in RAM."""
         return max(2 * self.batch_size, 2 * self.num_workers)
 
-    def _iterate(self, single_epoch: bool):
+    def _iterate(self, single_epoch: bool, start_batch: int = 0):
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def index_stream():
             epoch = 0
+            skip = start_batch * self.batch_size   # samples, not batches
             while True:
                 idx = self._epoch_indices(epoch)
                 usable = (len(idx) // self.batch_size) * self.batch_size
-                for i in idx[:usable]:
-                    yield epoch, i
+                if skip >= usable > 0:
+                    skip -= usable          # whole epoch already consumed
+                else:
+                    for i in idx[skip:usable]:
+                        yield epoch, i
+                    skip = 0
                 epoch += 1
                 if single_epoch:
                     return

@@ -65,10 +65,21 @@ def train_loop(trainer, conf, loaders, output_directory: str,
     if mesh is not None:
         from munit_tpu.dist import data_sharding
         sharding = data_sharding(mesh)
-    it_a = device_prefetch(iter(loaders["a"]), size=2, sharding=sharding)
-    it_b = device_prefetch(iter(loaders["b"]), size=2, sharding=sharding)
-    it_s = (device_prefetch(iter(loaders["synth"]), size=2, sharding=sharding)
-            if loaders.get("synth") else None)
+    def _stream(loader):
+        # exact data-order resume: the loop consumes exactly one batch per
+        # loader per iteration, so a restore at start_iteration skips that
+        # many batches (arithmetic only — loader.iter_from decodes nothing
+        # for skipped batches). The reference restarted its data order on
+        # --resume; see DataLoader.iter_from.
+        if start_iteration and hasattr(loader, "iter_from"):
+            src = loader.iter_from(start_iteration)
+        else:
+            src = iter(loader)
+        return device_prefetch(src, size=2, sharding=sharding)
+
+    it_a = _stream(loaders["a"])
+    it_b = _stream(loaders["b"])
+    it_s = _stream(loaders["synth"]) if loaders.get("synth") else None
     maybe_shard = (lambda x: x)  # prefetch already placed the arrays
 
     pending = []

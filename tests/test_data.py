@@ -230,3 +230,28 @@ def test_jpeg_draft_decode_opt_in(tmp_path, monkeypatch):
     # draft engaged (decode differs) but stays close on smooth content
     assert np.abs(on - off).mean() < 0.02          # [-1,1] scale
     np.testing.assert_array_equal(on_png, off_png)  # PNG: draft is a no-op
+
+
+def test_loader_iter_from_exact_resume():
+    """iter_from(k) continues the infinite stream exactly where a fresh
+    iterator would be after consuming k batches — across epoch boundaries —
+    and does NO decode work for the skipped batches."""
+    ds = _CountingDataset(10)   # epoch = 2 usable batches of 4 (drop_last)
+    loader = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2,
+                        seed=7, prefetch=2)
+    it = iter(loader)
+    ref = [next(it) for _ in range(6)]   # spans 3 epochs
+    it.close()
+
+    for k in (1, 2, 3, 5):               # incl. exact epoch boundary (2)
+        ds2 = _CountingDataset(10)
+        loader2 = DataLoader(ds2, batch_size=4, shuffle=True, num_workers=2,
+                             seed=7, prefetch=2)
+        it2 = loader2.iter_from(k)
+        got = [next(it2) for _ in range(6 - k)]
+        it2.close()
+        for want, have in zip(ref[k:], got):
+            np.testing.assert_array_equal(want["image"], have["image"])
+        # skipped batches were never decoded (prefetch may run ahead a bit)
+        assert ds2.calls <= (6 - k) * 4 + loader2._in_flight_window() + \
+            (loader2.prefetch + 1) * loader2.batch_size
