@@ -33,7 +33,10 @@ REFERENCE_H100_IMAGES_PER_SEC = 20.0
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 WARMUP = 4
 ITERS = int(os.environ.get("BENCH_ITERS", "150"))
-CROP = 256
+CROP = int(os.environ.get("BENCH_CROP", "256"))
+# BENCH_TINY=1: shrink the nets so the CI smoke test (tests/test_bench_smoke)
+# can execute this whole script on CPU in seconds. Never set on real runs.
+TINY = os.environ.get("BENCH_TINY", "0") == "1"
 
 
 def log(msg):
@@ -46,21 +49,31 @@ def main():
     # Persistent compilation cache: the big dis/gen step graphs compile once
     # (remote compile over the axon tunnel is minutes-scale); subsequent bench
     # runs start in seconds.
-    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    cache = "/root/repo/.jax_cache" if jax.devices()[0].platform != "cpu" \
+        else "/root/repo/.jax_cache_cpu"   # test-suite smoke runs
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from munit_tpu.config import validate
     from munit_tpu.train import MUNITTrainer
 
     dev = jax.devices()[0]
-    conf = validate({
+    spec = {
         "gen_state": 1, "guided": 1, "semantic_w": 3, "recon_mask": 1,
         "batch_size": BATCH, "ratio_disc_gen": 5,
         "new_size": CROP, "crop_image_height": CROP, "crop_image_width": CROP,
         # the shipped adaptation block (configs/config_256.yaml:36-38)
         "adaptation": {"adv_lambda": 6, "dfeat_lambda": 1,
                        "classif_frequency": 15},
-    })
+    }
+    if TINY:
+        spec["gen"] = {"dim": 16, "mlp_dim": 32, "style_dim": 8,
+                       "activ": "relu", "n_downsample": 2, "n_res": 2,
+                       "pad_type": "reflect"}
+        spec["dis"] = {"dim": 16, "norm": "none", "activ": "lrelu",
+                       "n_layer": 2, "gan_type": "lsgan", "num_scales": 2,
+                       "pad_type": "reflect"}
+    conf = validate(spec)
 
     from munit_tpu.core import ops
     if os.environ.get("BENCH_BF16", "1") == "1":
