@@ -524,6 +524,15 @@ class MUNITTrainer:
         # math and lets XLA alias the untouched params_copy on update phases
         # (BENCH.md r3). Two compiles per step, both persistent-cached.
         donate = dict(donate_argnums=(0,))
+        # MUNIT_COMPILER_OPTS="xla_flag=value,..." threads backend compiler
+        # option overrides into every jitted train step — the only way to
+        # reach server-side XLA flags on a remote (PJRT-tunneled) TPU, where
+        # client XLA_FLAGS either doesn't propagate or is rejected outright
+        # by the local build.
+        opts = _os.environ.get("MUNIT_COMPILER_OPTS", "")
+        if opts:
+            donate["compiler_options"] = dict(
+                kv.split("=", 1) for kv in opts.split(",") if "=" in kv)
         self._dis_step = jax.jit(self._dis_step_impl,
                                  static_argnames=("extrapolate",), **donate)
         self._gen_step = jax.jit(
