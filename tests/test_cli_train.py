@@ -157,3 +157,34 @@ def test_remat_decode_trains():
     tr.iterations = 0
     m = tr.gen_update(x, x)
     assert np.isfinite(float(m["loss_gen_total"]))
+
+
+def test_cli_train_uint8_loader_display(workspace, tmp_path, monkeypatch):
+    """MUNIT_LOADER_UINT8=1: display batches bypass device_prefetch (the
+    normalization point for uint8 loaders), so cli.train's take() must
+    normalize them itself — raw uint8 [0,255] into trainer.sample produced
+    garbage/saturated sample grids (ADVICE r2, medium)."""
+    import json
+
+    ws, cpath = workspace
+    conf = yaml.safe_load(open(cpath))
+    conf.update({"max_iter": 2, "image_display_iter": 2,
+                 "image_save_iter": 10, "snapshot_save_iter": 10})
+    cpath2 = tmp_path / "tiny_u8.yaml"
+    cpath2.write_text(yaml.safe_dump(conf))
+
+    monkeypatch.setenv("MUNIT_LOADER_UINT8", "1")
+    from munit_tpu.cli.train import main
+    main(["--config", str(cpath2), "--output_path", str(tmp_path / "run8")])
+
+    outdir = tmp_path / "run8" / "outputs" / "tiny_u8"
+    lines = (outdir / "metrics.jsonl").read_text().strip().splitlines()
+    assert any("loss_dis_total" in json.loads(l) for l in lines)
+    grid = outdir / "images" / "gen_a2b_train_current.jpg"
+    assert grid.exists()
+    arr = np.asarray(Image.open(grid), np.float32)
+    # a [0,255]-scaled input would tanh-saturate every generated column;
+    # normalized inputs keep the grid's pixel spread healthy
+    assert 5.0 < arr.mean() < 250.0
+    sat = ((arr < 2) | (arr > 253)).mean()
+    assert sat < 0.9, f"sample grid {sat:.0%} saturated — inputs unnormalized?"
