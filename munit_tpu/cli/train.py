@@ -178,9 +178,22 @@ def main(argv=None):
 
     # display batches (train.py:132-143)
     display = int(conf["display_size"])
+    skip_bad = os.environ.get("MUNIT_LOADER_SKIP_BAD", "0") == "1"
+
     def take(loader):
-        imgs = [loader.dataset.get(i, np.random.default_rng(i))["image"]
-                for i in range(min(display, len(loader.dataset)))]
+        n = len(loader.dataset)
+        imgs, i = [], 0
+        while len(imgs) < min(display, n) and i < n:
+            try:
+                imgs.append(
+                    loader.dataset.get(i, np.random.default_rng(i))["image"])
+            except Exception:
+                # corrupt sample: skip it here too (loader.py
+                # _load_or_substitute handles the training stream)
+                if not skip_bad:
+                    raise
+                print(f"display batch: sample {i} failed; skipping")
+            i += 1
         x = np.stack(imgs)
         if x.dtype == np.uint8:
             # uint8-mode loaders (MUNIT_LOADER_UINT8=1) are normalized in

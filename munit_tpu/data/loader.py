@@ -57,6 +57,29 @@ class DataLoader:
             np.random.SeedSequence([self.seed, epoch, int(index)]))
         return self.dataset.get(int(index), rng)
 
+    def _load_or_substitute(self, epoch: int, index: int):
+        """MUNIT_LOADER_SKIP_BAD=1: a sample that fails to decode (corrupt
+        file mid-run) is logged and deterministically replaced by the next
+        loadable index instead of killing training (the reference's torch
+        DataLoader — and our default — propagates and the job dies). Opt-in:
+        silent substitution can mask real dataset damage, so the cap is
+        tight and every substitution is logged."""
+        import os
+        import sys
+        if os.environ.get("MUNIT_LOADER_SKIP_BAD", "0") != "1":
+            return self._load(epoch, index)
+        n = len(self.dataset)
+        last: BaseException
+        for k in range(min(8, n)):
+            try:
+                return self._load(epoch, (index + k) % n)
+            except BaseException as e:  # noqa: BLE001 — resilience path
+                last = e
+                print(f"loader: sample {(index + k) % n} failed "
+                      f"({type(e).__name__}: {e}); substituting",
+                      file=sys.stderr)
+        raise last
+
     def batches(self) -> Iterator[Dict[str, np.ndarray]]:
         """Single-epoch iterator (ordered submission, bounded prefetch)."""
         yield from self._iterate(single_epoch=True)
@@ -128,7 +151,8 @@ class DataLoader:
                             except StopIteration:
                                 exhausted = True
                                 break
-                            in_flight.append(pool.submit(self._load, ep, i))
+                            in_flight.append(
+                                pool.submit(self._load_or_substitute, ep, i))
                         if len(in_flight) < self.batch_size:
                             put_blocking(None)
                             return

@@ -255,3 +255,33 @@ def test_loader_iter_from_exact_resume():
         # skipped batches were never decoded (prefetch may run ahead a bit)
         assert ds2.calls <= (6 - k) * 4 + loader2._in_flight_window() + \
             (loader2.prefetch + 1) * loader2.batch_size
+
+
+class _FlakyDataset(_CountingDataset):
+    """index 3 is 'corrupt'."""
+
+    def get(self, index, rng):
+        if index == 3:
+            raise OSError("truncated image")
+        return super().get(index, rng)
+
+
+def test_loader_skip_bad_opt_in(monkeypatch):
+    """MUNIT_LOADER_SKIP_BAD=1 substitutes a corrupt sample with the next
+    loadable index (logged) instead of killing training; default propagates."""
+    loader = DataLoader(_FlakyDataset(8), batch_size=4, shuffle=False,
+                        num_workers=2, seed=0, prefetch=2)
+    it = iter(loader)
+    with pytest.raises(OSError):
+        for _ in range(2):
+            next(it)
+    it.close()
+
+    monkeypatch.setenv("MUNIT_LOADER_SKIP_BAD", "1")
+    loader2 = DataLoader(_FlakyDataset(8), batch_size=4, shuffle=False,
+                         num_workers=2, seed=0, prefetch=2)
+    it2 = iter(loader2)
+    b0, b1 = next(it2), next(it2)
+    it2.close()
+    vals = [int(b["image"][i, 0, 0, 0]) for b in (b0, b1) for i in range(4)]
+    assert vals == [0, 1, 2, 4, 4, 5, 6, 7]   # 3 → substituted by 4
