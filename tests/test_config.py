@@ -49,3 +49,12 @@ def test_validation_errors():
 def test_flatten_opts():
     flat = flatten_opts({"a": {"b": {"c": 2}, "e": 4}, "f": 5})
     assert flat == {"a.b.c": 2, "a.e": 4, "f": 5}
+
+
+def test_main_dispatcher_lists_and_rejects():
+    from munit_tpu.__main__ import main, COMMANDS
+    import importlib
+    assert main(["--help"]) == 0
+    assert main(["not_a_command"]) == 2
+    for mod, _ in COMMANDS.values():   # every target module imports + has main
+        assert callable(getattr(importlib.import_module(mod), "main"))
