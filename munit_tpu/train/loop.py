@@ -183,6 +183,9 @@ def train_loop(trainer, conf, loaders, output_directory: str,
                               "test_%08d" % (iterations + 1), logger)
                 write_2images(trainer.sample(tr_a, tr_b), display, img_dir,
                               "train_%08d" % (iterations + 1), logger)
+                from munit_tpu.utils.html import write_html
+                write_html(os.path.join(output_directory, "index.html"),
+                           iterations + 1, conf["image_save_iter"], img_dir)
             if (iterations + 1) % conf["image_display_iter"] == 0:
                 write_2images(trainer.sample(tr_a, tr_b), display, img_dir,
                               "train_current", logger)
