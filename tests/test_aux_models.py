@@ -137,3 +137,27 @@ def test_html_writer(tmp_path):
     html = out.read_text()
     assert "gen_a2b_test_00001000.jpg" in html
     assert "train_current" in html
+
+
+def test_flood_classifier_transform_semantics():
+    """transform_torchVar parity (utils.py:177-189): resize-256 shorter side,
+    center-crop 224, ImageNet normalization, HWC float32."""
+    from PIL import Image
+    from munit_tpu.nn.resnet18 import flood_classifier_transform
+
+    rng = np.random.RandomState(0)
+    img = Image.fromarray(rng.randint(0, 255, (300, 400, 3), np.uint8))
+    out = flood_classifier_transform(img)
+    assert out.shape == (224, 224, 3) and out.dtype == np.float32
+
+    # composition check against the already-torchvision-pinned primitives
+    # (test_resize_shorter_semantics): resize-256 → center-crop 224 →
+    # [0,1] → ImageNet normalize
+    from munit_tpu.data import transforms as T
+    r = T.resize_shorter(img, 256)
+    w, h = r.size
+    want01 = T.to_array01(T.crop(r, (h - 224) // 2, (w - 224) // 2, 224, 224))
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    np.testing.assert_allclose(out * std + mean, want01, atol=1e-6)
+    assert (h, w) == (256, 341)   # shorter-side resize, not square

@@ -285,3 +285,27 @@ def test_loader_skip_bad_opt_in(monkeypatch):
     it2.close()
     vals = [int(b["image"][i, 0, 0, 0]) for b in (b0, b1) for i in range(4)]
     assert vals == [0, 1, 2, 4, 4, 5, 6, 7]   # 3 → substituted by 4
+
+
+def test_image_label_filelist(tmp_path):
+    """Class labels derived from the first path segment (data.py:52-79)."""
+    from munit_tpu.data.datasets import ImageLabelFilelist
+
+    rng = np.random.RandomState(0)
+    rels = []
+    for cls in ("cats", "dogs"):
+        (tmp_path / cls).mkdir()
+        for i in range(2):
+            rel = f"{cls}/{i}.png"
+            Image.fromarray(
+                rng.randint(0, 255, (40, 40, 3), np.uint8)).save(tmp_path / rel)
+            rels.append(rel)
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(rels))
+    ds = ImageLabelFilelist(str(tmp_path), str(lst), new_size=32, height=32,
+                            width=32, train=False)
+    assert ds.class_to_idx == {"cats": 0, "dogs": 1}
+    labels = [int(ds.get(i, np.random.default_rng(0))["label"])
+              for i in range(4)]
+    assert labels == [0, 0, 1, 1]
+    assert ds.get(0, np.random.default_rng(0))["image"].shape == (32, 32, 3)
