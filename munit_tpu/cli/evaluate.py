@@ -37,8 +37,7 @@ from munit_tpu.train import GenBundle
 def cmd_fid(opts):
     conf = get_config(opts.config)
     from munit_tpu.data import get_fid_data_loader
-    from munit_tpu.eval.fid import (accumulate_activations,
-                                    compute_fid_from_pools)
+    from munit_tpu.eval.fid import compute_fid_from_pools
     from munit_tpu.eval.inception import InceptionV3, inception_preprocess
 
     gen = GenBundle(conf)
@@ -48,22 +47,57 @@ def cmd_fid(opts):
         variables = pickle.load(f)
     net = InceptionV3()
 
-    @jax.jit
-    def pool_fn(img_pm1):
-        pool, _ = net.apply(variables, inception_preprocess(img_pm1))
-        return pool
+    # --mesh auto: shard the translate+inception pipeline over a (data,)
+    # mesh — params/inception replicated, image batches split across chips.
+    mesh = None
+    n_dev = 1
+    if getattr(opts, "mesh", "off") == "auto" and len(jax.devices()) > 1:
+        from munit_tpu.dist import mesh as M
+        mesh = M.make_mesh()
+        n_dev = mesh.shape["data"]
+        params = jax.device_put(params, M.replicated(mesh))
+        variables = jax.device_put(variables, M.replicated(mesh))
 
-    @jax.jit
-    def sample_fid(x_a, x_b):
+    def _fid_step(x_a, x_b):
+        """translate + inception pool in ONE dispatch."""
         c_a, _ = gen.encode(params, x_a, 1)
         _, s_b = gen.encode(params, x_b, 2)
-        return gen.decode(params, c_a, s_b, 2)
+        fake = gen.decode(params, c_a, s_b, 2)
+        pool, _ = net.apply(variables, inception_preprocess(fake))
+        return pool
+
+    if mesh is not None:
+        from munit_tpu.dist import mesh as M
+        ds = M.data_sharding(mesh)
+        fid_step = jax.jit(_fid_step, in_shardings=(ds, ds),
+                           out_shardings=ds)
+    else:
+        fid_step = jax.jit(_fid_step)
+
+    def pooled_batches(batches):
+        """Pad each batch to a device multiple for the sharded step; slice
+        the per-image pool rows back so pads never enter the FID pool."""
+        for batch in batches:
+            x_a = jnp.asarray(batch["image_a"])
+            x_b = jnp.asarray(batch["image_b"])
+            n = x_a.shape[0]
+            pad = (-n) % n_dev
+            if pad:
+                x_a = jnp.concatenate(
+                    [x_a, jnp.repeat(x_a[-1:], pad, axis=0)], axis=0)
+                x_b = jnp.concatenate(
+                    [x_b, jnp.repeat(x_b[-1:], pad, axis=0)], axis=0)
+            if mesh is not None:
+                from munit_tpu.dist import mesh as M
+                x_a = jax.device_put(x_a, M.data_sharding(mesh))
+                x_b = jax.device_put(x_b, M.data_sharding(mesh))
+            yield np.asarray(fid_step(x_a, x_b))[:n]
 
     loader = get_fid_data_loader(
         conf["data_list_fid_a"], conf["data_list_fid_b"],
         max(conf["batch_size_fid"], 1), new_size=conf["new_size"],
         num_workers=conf["num_workers"])
-    pool = accumulate_activations(sample_fid, pool_fn, loader.batches())
+    pool = np.concatenate(list(pooled_batches(loader.batches())), axis=0)
     moments = np.load(conf["inception_moment_path"])
     fid = compute_fid_from_pools(pool, moments["mu"], moments["sigma"])
     print(f"FID: {fid}")
@@ -109,6 +143,9 @@ def main(argv=None):
     f.add_argument("--kid", action="store_true",
                    help="also report Kernel Inception Distance (requires a "
                         "moments file carrying the raw real `pool`)")
+    f.add_argument("--mesh", choices=["off", "auto"], default="off",
+                   help="auto: data-parallel the translate+inception "
+                        "pipeline over all visible chips")
     s = sub.add_parser("sweep")
     s.add_argument("--config", required=True)
     s.add_argument("--checkpoint", required=True)

@@ -144,3 +144,60 @@ def test_kid_zero_for_same_distribution():
     mean_diff, _ = kid(base[:200], shifted, n_subsets=20, subset_size=100)
     assert abs(mean_same) < 0.05
     assert mean_diff > mean_same + 0.5
+
+
+def test_evaluate_fid_mesh_parity(tmp_path):
+    """`evaluate fid --mesh auto` (data-parallel translate+inception over the
+    fake 8-device mesh) returns the same FID as the unsharded path, including
+    the pad/slice handling for batches not divisible by the device count."""
+    import pickle
+    import yaml
+    from PIL import Image
+    from munit_tpu.eval.inception import InceptionV3
+
+    rng = np.random.RandomState(0)
+    imgs = []
+    for i in range(5):
+        p = tmp_path / f"im{i}.png"
+        Image.fromarray(rng.randint(0, 255, (40, 40, 3), np.uint8)).save(p)
+        imgs.append(str(p))
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(imgs))
+
+    net = InceptionV3()
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+    incep_pkl = tmp_path / "inception.pkl"
+    with open(incep_pkl, "wb") as f:
+        pickle.dump(jax.tree.map(np.asarray, variables), f)
+    a = np.random.RandomState(1).randn(2048, 64)
+    moments = tmp_path / "moments.npz"
+    np.savez(moments, mu=a.mean(1), sigma=a @ a.T / 64)
+
+    conf = {
+        "gen_state": 1, "guided": 1, "new_size": 40, "batch_size_fid": 3,
+        "num_workers": 0, "crop_image_height": 32, "crop_image_width": 32,
+        "gen": {"dim": 16, "mlp_dim": 32, "style_dim": 8, "activ": "relu",
+                "n_downsample": 2, "n_res": 2, "pad_type": "reflect"},
+        "inception_moment_path": str(moments),
+        "data_list_fid_a": str(lst), "data_list_fid_b": str(lst),
+    }
+    conf_path = tmp_path / "conf.yaml"
+    conf_path.write_text(yaml.safe_dump(conf))
+
+    # random generator params via checkpoint_tools-compatible npz packing
+    from munit_tpu.config import validate
+    from munit_tpu.train import GenBundle
+    gen = GenBundle(validate(conf))
+    params = gen.init(jax.random.PRNGKey(2), jnp.zeros((1, 40, 40, 3)))
+    from munit_tpu.io.checkpoint import save_inference_params
+
+    ckpt = tmp_path / "gen.npz"
+    save_inference_params(str(ckpt), params)
+
+    from munit_tpu.cli.evaluate import main as eval_main
+    args = ["fid", "--config", str(conf_path), "--checkpoint", str(ckpt),
+            "--inception_ckpt", str(incep_pkl)]
+    fid_off = eval_main(args)
+    fid_mesh = eval_main(args + ["--mesh", "auto"])
+    assert np.isfinite(fid_off)
+    np.testing.assert_allclose(fid_mesh, fid_off, rtol=2e-3)
