@@ -29,6 +29,9 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--new_size", type=int, default=256)
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--mesh", choices=["off", "auto"], default="off",
+                   help="auto: data-parallel the inception pooling over all "
+                        "visible chips")
     opts = p.parse_args(argv)
 
     from munit_tpu.data.datasets import read_filelist, scan_folder
@@ -54,10 +57,37 @@ def main(argv=None):
             variables = pickle.load(f)
     net = InceptionV3()
 
-    @jax.jit
-    def pool_fn(img_pm1):
+    # --mesh auto: inception replicated, image batches split across chips
+    mesh = None
+    n_dev = 1
+    if opts.mesh == "auto" and len(jax.devices()) > 1:
+        from munit_tpu.dist import mesh as M
+        mesh = M.make_mesh()
+        n_dev = mesh.shape["data"]
+        variables = jax.device_put(variables, M.replicated(mesh))
+
+    def _pool(img_pm1):
         pool, _ = net.apply(variables, inception_preprocess(img_pm1))
         return pool
+
+    if mesh is not None:
+        from munit_tpu.dist import mesh as M
+        pool_fn = jax.jit(_pool, in_shardings=M.data_sharding(mesh),
+                          out_shardings=M.data_sharding(mesh))
+    else:
+        pool_fn = jax.jit(_pool)
+
+    def run_batch(stack):
+        n = stack.shape[0]
+        pad = (-n) % n_dev
+        if pad:   # pad for the sharded step; slice the rows back (exact)
+            stack = np.concatenate(
+                [stack, np.repeat(stack[-1:], pad, axis=0)], axis=0)
+        x = jnp.asarray(stack)
+        if mesh is not None:
+            from munit_tpu.dist import mesh as M
+            x = jax.device_put(x, M.data_sharding(mesh))
+        return np.asarray(pool_fn(x))[:n]
 
     pools = []
     batch = []
@@ -69,10 +99,10 @@ def main(argv=None):
         img = T.crop(img, (h - s) // 2, (w - s) // 2, s, s)
         batch.append(T.normalize_pm1(T.to_array01(img)))
         if len(batch) == opts.batch_size:
-            pools.append(np.asarray(pool_fn(jnp.asarray(np.stack(batch)))))
+            pools.append(run_batch(np.stack(batch)))
             batch = []
     if batch:
-        pools.append(np.asarray(pool_fn(jnp.asarray(np.stack(batch)))))
+        pools.append(run_batch(np.stack(batch)))
     pool = np.concatenate(pools, axis=0)
 
     mu = pool.mean(axis=0)

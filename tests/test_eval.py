@@ -201,3 +201,35 @@ def test_evaluate_fid_mesh_parity(tmp_path):
     fid_mesh = eval_main(args + ["--mesh", "auto"])
     assert np.isfinite(fid_off)
     np.testing.assert_allclose(fid_mesh, fid_off, rtol=2e-3)
+
+
+def test_compute_moments_mesh_parity(tmp_path):
+    """compute_moments --mesh auto equals the unsharded run (pad/slice on a
+    3-image set over the fake 8-device mesh)."""
+    import pickle
+    from PIL import Image
+    from munit_tpu.eval.inception import InceptionV3
+
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"r{i}.png"
+        Image.fromarray(rng.randint(0, 255, (48, 56, 3), np.uint8)).save(p)
+        paths.append(str(p))
+    (tmp_path / "list.txt").write_text("\n".join(paths))
+
+    net = InceptionV3()
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+    incep = tmp_path / "inception.pkl"
+    with open(incep, "wb") as f:
+        pickle.dump(jax.tree.map(np.asarray, variables), f)
+
+    from munit_tpu.cli.compute_moments import main as mm
+    base = ["--images", str(tmp_path / "list.txt"), "--inception_ckpt",
+            str(incep), "--new_size", "48", "--batch_size", "3"]
+    mm(base + ["--out", str(tmp_path / "off.npz")])
+    mm(base + ["--out", str(tmp_path / "on.npz"), "--mesh", "auto"])
+    off, on = np.load(tmp_path / "off.npz"), np.load(tmp_path / "on.npz")
+    assert off["pool"].shape == on["pool"].shape == (3, 2048)
+    np.testing.assert_allclose(on["pool"], off["pool"], atol=2e-4)
+    np.testing.assert_allclose(on["mu"], off["mu"], atol=2e-4)
