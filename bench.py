@@ -153,4 +153,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        # One retry: the remote-TPU tunnel occasionally drops a dispatch;
+        # a transient flake must not cost the benchmark capture. The retry
+        # reuses the persistent compile cache, so it starts in seconds.
+        log(f"bench: attempt 1 failed ({type(e).__name__}: {e}); "
+            "retrying once in 20s")
+        time.sleep(20)
+        main()
