@@ -72,6 +72,37 @@ def cmd_pack(opts):
     print(f"packed → {opts.out} ({os.path.getsize(opts.out) / 1e6:.1f} MB)")
 
 
+def cmd_export_aot(opts):
+    """Any weight source → AOT deployment artifact (serialized StableHLO).
+
+    The artifact serves guided translation with NO model code or config at
+    the destination (munit_tpu/io/aot.py) — the TPU-native answer to the
+    reference's serve-by-rebuilding-the-trainer (test.py:55-73).
+    """
+    import jax.numpy as jnp_
+    from munit_tpu.config import get_config
+    from munit_tpu.cli.translate import load_gen_params
+    from munit_tpu.core import ops
+    from munit_tpu.io import aot
+    from munit_tpu.train import GenBundle
+
+    conf = get_config(opts.config)
+    gen = GenBundle(conf)
+    params = load_gen_params(opts.ckpt, conf)
+    if opts.dtype == "bf16":
+        # production inference numerics (what bench_infer measures)
+        ops.set_conv_compute(jnp_.bfloat16, jax.lax.Precision.DEFAULT)
+    platforms = tuple(opts.platforms.split(","))
+    aot.save_artifact(opts.out, gen, params, conf["new_size"],
+                      conf["gen"]["style_dim"], platforms=platforms,
+                      conv_dtype={"bf16": "bfloat16", "f32": "float32"}[
+                          opts.dtype])
+    import os
+    print(f"exported AOT artifact → {opts.out} "
+          f"({os.path.getsize(opts.out) / 1e6:.1f} MB, "
+          f"platforms={','.join(platforms)}, convs={opts.dtype})")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -93,8 +124,20 @@ def main(argv=None):
     k.add_argument("--quant", choices=["bf16", "int8"], default="bf16",
                    help="weight storage: bf16 (0.5x f32, lossless on TPU) "
                         "or int8 (0.25x, per-channel scales, ~0.4%% RMS)")
+    a = sub.add_parser("export-aot",
+                       help="AOT deployment artifact (serialized StableHLO; "
+                            "serves with no model code at the destination)")
+    a.add_argument("--config", required=True)
+    a.add_argument("--ckpt", required=True,
+                   help="orbax dir, reference .pt, or inference .npz")
+    a.add_argument("--out", required=True, help="output .jexp.zip path")
+    a.add_argument("--platforms", default="cpu,tpu",
+                   help="comma-separated export platforms (default cpu,tpu)")
+    a.add_argument("--dtype", choices=["bf16", "f32"], default="bf16",
+                   help="conv compute baked into the traced program")
     opts = p.parse_args(argv)
-    {"import": cmd_import, "export": cmd_export, "pack": cmd_pack}[opts.cmd](opts)
+    {"import": cmd_import, "export": cmd_export, "pack": cmd_pack,
+     "export-aot": cmd_export_aot}[opts.cmd](opts)
 
 
 if __name__ == "__main__":

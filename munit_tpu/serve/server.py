@@ -9,6 +9,12 @@ flooded-image requests over HTTP (stdlib http.server — zero extra deps).
   python -m munit_tpu.serve.server --config configs/config_256.yaml \\
       --checkpoint gen.pt --style style.png --port 8787
 
+or, from an AOT deployment artifact (checkpoint_tools export-aot) — no
+config, checkpoint, or model code needed at the destination (io/aot.py):
+
+  python -m munit_tpu.serve.server --artifact model.jexp.zip \\
+      --style style.png --port 8787
+
 Concurrent requests are coalesced into one batched TPU dispatch by a
 dynamic micro-batcher (``MicroBatcher``): up to --max-batch requests per
 step, padded to power-of-two buckets so jit compiles a bounded shape set.
@@ -187,15 +193,30 @@ class MicroBatcher:
 class TranslationService:
     """Owns the generator params, style codes, and the jitted step."""
 
-    def __init__(self, conf: Dict, gen_params, new_size: Optional[int] = None,
+    def __init__(self, conf: Optional[Dict] = None, gen_params=None,
+                 new_size: Optional[int] = None,
                  max_batch: int = 1, max_wait_ms: float = 4.0,
-                 quant: str = "none", mesh: str = "auto"):
+                 quant: str = "none", mesh: str = "auto",
+                 artifact: Optional[str] = None):
         from munit_tpu.core import ops
-        from munit_tpu.train import GenBundle
         self.conf = conf
-        self.gen = GenBundle(conf)
-        self.params = gen_params
-        self.new_size = new_size or conf["new_size"]
+        self.artifact = None
+        if artifact is not None:
+            # AOT deployment artifact (io/aot.py): the lowered programs with
+            # weights baked in — no model code, config, or checkpoint needed.
+            if quant == "int8":
+                raise ValueError("int8 is baked at export time for AOT "
+                                 "artifacts; re-export instead of --quant")
+            from munit_tpu.io import aot
+            self.artifact = aot.load_artifact(artifact)
+            self.gen = None
+            self.params = None
+            self.new_size = new_size or self.artifact.new_size
+        else:
+            from munit_tpu.train import GenBundle
+            self.gen = GenBundle(conf)
+            self.params = gen_params
+            self.new_size = new_size or conf["new_size"]
         self.quant = quant == "int8"
         self._scales = None  # per-site activation maxima (int8 calibration)
         self.styles: Dict[str, jax.Array] = {}
@@ -213,15 +234,21 @@ class TranslationService:
             self.mesh = M.make_mesh()
             self.n_dev = self.mesh.shape["data"]
             self._dsh = M.data_sharding(self.mesh)
-            self.params = jax.device_put(self.params, M.replicated(self.mesh))
+            if self.params is not None:
+                self.params = jax.device_put(self.params,
+                                             M.replicated(self.mesh))
             if max_batch > 1:  # batched serving: buckets must fill the mesh
                 max_batch = max(max_batch, self.n_dev)
                 if max_batch % self.n_dev:
                     max_batch += self.n_dev - max_batch % self.n_dev
 
-        def _body(x_a, s_b):
-            c_a, _ = self.gen.encode(self.params, x_a, 1)
-            return self.gen.decode(self.params, c_a, s_b, 2)
+        if self.artifact is not None:
+            def _body(x_a, s_b):
+                return self.artifact.translate_call(x_a, s_b)
+        else:
+            def _body(x_a, s_b):
+                c_a, _ = self.gen.encode(self.params, x_a, 1)
+                return self.gen.decode(self.params, c_a, s_b, 2)
 
         self._body = _body
 
@@ -235,6 +262,11 @@ class TranslationService:
                     return _body(x_a, s_b)
             return _body(x_a, s_b)
 
+        if self.artifact is not None:
+            _encode_body = self.artifact.encode_style_call
+        else:
+            _encode_body = lambda x: self.gen.encode(self.params, x, 2)[1]  # noqa: E731
+
         if self.mesh is not None:
             from munit_tpu.dist import mesh as M
             self._translate = jax.jit(
@@ -242,13 +274,12 @@ class TranslationService:
                 out_shardings=self._dsh)
             # style encode runs once per style: replicate the batch-1 input
             self._encode_style = jax.jit(
-                lambda x: self.gen.encode(self.params, x, 2)[1],
+                _encode_body,
                 in_shardings=M.replicated(self.mesh),
                 out_shardings=M.replicated(self.mesh))
         else:
             self._translate = jax.jit(_translate)
-            self._encode_style = jax.jit(
-                lambda x: self.gen.encode(self.params, x, 2)[1])
+            self._encode_style = jax.jit(_encode_body)
         self.batcher: Optional[MicroBatcher] = None
         if max_batch > 1:
             self.batcher = MicroBatcher(self._run_padded, max_batch,
@@ -425,8 +456,14 @@ def serve(service: TranslationService, port: int = 8787,
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--config", required=True)
-    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--config", default=None,
+                   help="required unless --artifact is given")
+    p.add_argument("--checkpoint", default=None,
+                   help="required unless --artifact is given")
+    p.add_argument("--artifact", default=None,
+                   help="AOT deployment artifact (.jexp.zip from "
+                        "checkpoint_tools export-aot) — serves without "
+                        "config/checkpoint/model code")
     p.add_argument("--style", required=True, action="append",
                    help="style exemplar image, 'path' or 'name=path'; "
                         "repeatable — the first is also served as 'default'")
@@ -445,13 +482,22 @@ def main(argv=None):
                         "chips (data-parallel serving)")
     opts = p.parse_args(argv)
 
-    from munit_tpu.cli.translate import load_gen_params
-    from munit_tpu.config import get_config
-    conf = get_config(opts.config)
-    svc = TranslationService(conf, load_gen_params(opts.checkpoint, conf),
-                             max_batch=opts.max_batch,
-                             max_wait_ms=opts.max_wait_ms, quant=opts.quant,
-                             mesh=opts.mesh)
+    if opts.artifact:
+        svc = TranslationService(artifact=opts.artifact,
+                                 max_batch=opts.max_batch,
+                                 max_wait_ms=opts.max_wait_ms,
+                                 quant=opts.quant, mesh=opts.mesh)
+    else:
+        if not (opts.config and opts.checkpoint):
+            p.error("--config and --checkpoint are required without "
+                    "--artifact")
+        from munit_tpu.cli.translate import load_gen_params
+        from munit_tpu.config import get_config
+        conf = get_config(opts.config)
+        svc = TranslationService(conf, load_gen_params(opts.checkpoint, conf),
+                                 max_batch=opts.max_batch,
+                                 max_wait_ms=opts.max_wait_ms,
+                                 quant=opts.quant, mesh=opts.mesh)
     for i, spec in enumerate(opts.style):
         name, _, path = spec.rpartition("=")
         img = Image.open(path or spec)
