@@ -97,3 +97,43 @@ def test_dis_export_import_roundtrip():
     tdis = tm.MirrorMsImageDis(3, p)
     tdis.load_state_dict({k: torch.from_numpy(np.asarray(v).copy())
                           for k, v in sd.items()})
+
+
+def test_legacy_pytorch03_keys_ignored(tmp_path):
+    """PyTorch-0.3-era checkpoints carry InstanceNorm running-stat buffers
+    that 0.4 rejects; the reference strips them with pytorch03_to_pytorch04
+    (utils.py:1130-1216, used at test_batch.py:129). Our converter fetches
+    tensors BY NAME, so the stale keys are ignored without a migration pass
+    — conversion of a 0.3-style state dict must equal the clean one."""
+    p = tm.small_gen_params()
+    jgen = AdaINGenDual(input_dim=3, dim=p["dim"], style_dim=p["style_dim"],
+                        n_downsample=p["n_downsample"], n_res=p["n_res"],
+                        mlp_dim=p["mlp_dim"])
+    x = jnp.zeros((1, 32, 32, 3))
+
+    def touch(mdl, x):
+        c1, s = mdl.encode(x, 1)
+        c2, _ = mdl.encode(x, 2)
+        return mdl.decode(c1, s, 1), mdl.decode(c2, s, 2)
+
+    params = jgen.init(jax.random.PRNGKey(2), x, method=touch)["params"]
+    ckpt = str(tmp_path / "gen_00000001.pt")
+    save_reference_checkpoint(ckpt, params, p, gen_state=1)
+    sd = dict(load_torch_checkpoint(ckpt)["2"])
+
+    legacy = dict(sd)
+    for k in list(sd):
+        # 0.3 serialized running stats for every InstanceNorm module
+        if ".norm" in k or "model.0" in k:
+            base = k.rsplit(".", 1)[0]
+            legacy[base + ".running_mean"] = np.zeros(4, np.float32)
+            legacy[base + ".running_var"] = np.ones(4, np.float32)
+
+    a = jax.tree_util.tree_leaves_with_path(
+        convert_gen_state_dict(sd, p, dual=True))
+    b = dict(jax.tree_util.tree_leaves_with_path(
+        convert_gen_state_dict(legacy, p, dual=True)))
+    assert len(a) == len(b)
+    for path, leaf in a:
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(b[path]),
+                                      err_msg=str(path))
