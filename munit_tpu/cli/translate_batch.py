@@ -41,10 +41,22 @@ def main(argv=None):
     p.add_argument("--trainer", default="MUNIT", choices=["MUNIT", "UNIT"])
     p.add_argument("--inception_ckpt", default=None,
                    help="pickle/torch .pt with fine-tuned InceptionV3 weights")
+    # reference flag compatibility (test_batch.py:73-85, :96-102): one
+    # inception per target domain, selected by direction
+    p.add_argument("--inception_a", default=None,
+                   help="per-domain inception (used when --a2b 0); "
+                        "reference-compatible alias for --inception_ckpt")
+    p.add_argument("--inception_b", default=None,
+                   help="per-domain inception (used when --a2b 1)")
     p.add_argument("--mesh", choices=["off", "auto"], default="off",
                    help="auto: shard the num_style-wide decode over all "
                         "visible chips (data-parallel batch inference)")
     opts = p.parse_args(argv)
+    if opts.inception_ckpt is None:
+        # reference semantics: IS/CIS measure the TARGET domain, so a2b=1
+        # scores with domain B's inception (test_batch.py:98-102)
+        opts.inception_ckpt = opts.inception_b if opts.a2b \
+            else opts.inception_a
 
     conf = get_config(opts.config)
     style_dim = conf["gen"]["style_dim"]

@@ -126,7 +126,9 @@ def test_translate_batch_is_on_reference_fixtures(tmp_path, ref_networks,
           "--input_folder", os.path.join(REF, "input_folder"),
           "--output_folder", str(out), "--num_style", "2", "--a2b", "1",
           "--output_only", "--compute_IS",
-          "--inception_ckpt", inception_ckpt])
+          # reference flag spelling (test_batch.py:73-85): a2b=1 scores with
+          # the domain-B inception; exercises the alias resolution
+          "--inception_b", inception_ckpt])
 
     for j in range(2):
         outs = sorted(os.listdir(f"{out}_{j:02d}"))
