@@ -11,6 +11,11 @@ configs/config_256.yaml) on one chip, steady-state:
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+BENCH_MESH=auto data-parallels the identical per-chip workload over every
+visible chip (params replicated, batch sharded, ICI grad reduce — the same
+dist/mesh.py path as `train --mesh`); the reported images/sec/chip stays
+directly comparable to the 1-chip number, total throughput goes to stderr.
+
 vs_baseline: ratio against REFERENCE_H100_IMAGES_PER_SEC — an estimate of the
 PyTorch reference's single-H100 throughput on the same workload (the reference
 publishes no numbers, BASELINE.md; the estimate is ~20 img/s for batch-1
@@ -58,9 +63,21 @@ def main():
     from munit_tpu.train import MUNITTrainer
 
     dev = jax.devices()[0]
+    # BENCH_MESH=auto: data-parallel the same workload over every visible
+    # chip (params replicated, batch sharded, grads psum'd over ICI by XLA —
+    # the dist/mesh.py machinery the train CLI uses). Per-chip batch stays
+    # BATCH so the reported images/sec/chip is comparable to the 1-chip run.
+    mesh, n_dev = None, 1
+    if os.environ.get("BENCH_MESH", "off") == "auto" and jax.device_count() > 1:
+        from munit_tpu.dist import make_mesh
+        mesh = make_mesh()
+        n_dev = mesh.shape["data"]
+        log(f"bench: data-parallel over {n_dev} chips (BENCH_MESH=auto), "
+            f"global batch {BATCH * n_dev}")
+    gbatch = BATCH * n_dev
     spec = {
         "gen_state": 1, "guided": 1, "semantic_w": 3, "recon_mask": 1,
-        "batch_size": BATCH, "ratio_disc_gen": 5,
+        "batch_size": gbatch, "ratio_disc_gen": 5,
         "new_size": CROP, "crop_image_height": CROP, "crop_image_width": CROP,
         # the shipped adaptation block (configs/config_256.yaml:36-38)
         "adaptation": {"adv_lambda": 6, "dfeat_lambda": 1,
@@ -91,10 +108,20 @@ def main():
     # BENCH.md). BENCH_ACT_BF16=0 for the f32-activation variant.
     act_dtype = jnp.bfloat16 if os.environ.get("BENCH_ACT_BF16", "1") == "1" \
         else jnp.float32
-    x_a = jnp.asarray(rng.randn(BATCH, CROP, CROP, 3), act_dtype)
-    x_b = jnp.asarray(rng.randn(BATCH, CROP, CROP, 3), act_dtype)
-    mask = jnp.asarray((rng.rand(BATCH, CROP, CROP, 1) > 0.5)
+    x_a = jnp.asarray(rng.randn(gbatch, CROP, CROP, 3), act_dtype)
+    x_b = jnp.asarray(rng.randn(gbatch, CROP, CROP, 3), act_dtype)
+    mask = jnp.asarray((rng.rand(gbatch, CROP, CROP, 1) > 0.5)
                        .astype(np.float32))
+    import contextlib
+    mesh_ctx = contextlib.nullcontext()
+    if mesh is not None:
+        from munit_tpu.dist import shard_batch
+        from munit_tpu.dist.mesh import replicate_state
+        tr.state = replicate_state(mesh, tr.state)
+        b = shard_batch(mesh, {"x_a": np.asarray(x_a), "x_b": np.asarray(x_b),
+                               "mask": np.asarray(mask)})
+        x_a, x_b, mask = b["x_a"], b["x_b"], b["mask"]
+        mesh_ctx = mesh
 
     ad = conf["adaptation"]
 
@@ -117,31 +144,36 @@ def main():
         # is the only dependable barrier.
         return float(list(m.values())[0])
 
-    log(f"bench: compiling dis step (batch={BATCH})...")
-    t0 = time.time()
-    m = one_iter(0)
-    sync(m)
-    log(f"bench: dis step ready in {time.time() - t0:.1f}s; compiling gen step...")
-    t0 = time.time()
-    m = one_iter(conf["ratio_disc_gen"] - 1)
-    sync(m)
-    log(f"bench: gen step ready in {time.time() - t0:.1f}s; "
-        "compiling classifier_sr step...")
-    t0 = time.time()
-    m = one_iter(ad["classif_frequency"] - 1)
-    sync(m)
-    log(f"bench: classifier_sr ready in {time.time() - t0:.1f}s; warmup...")
+    with mesh_ctx:
+        log(f"bench: compiling dis step (batch={BATCH}/chip)...")
+        t0 = time.time()
+        m = one_iter(0)
+        sync(m)
+        log(f"bench: dis step ready in {time.time() - t0:.1f}s; "
+            "compiling gen step...")
+        t0 = time.time()
+        m = one_iter(conf["ratio_disc_gen"] - 1)
+        sync(m)
+        log(f"bench: gen step ready in {time.time() - t0:.1f}s; "
+            "compiling classifier_sr step...")
+        t0 = time.time()
+        m = one_iter(ad["classif_frequency"] - 1)
+        sync(m)
+        log(f"bench: classifier_sr ready in {time.time() - t0:.1f}s; warmup...")
 
-    for it in range(WARMUP):
-        m = one_iter(it)
-    sync(m)
+        for it in range(WARMUP):
+            m = one_iter(it)
+        sync(m)
 
-    t0 = time.time()
-    for it in range(WARMUP, WARMUP + ITERS):
-        m = one_iter(it)
-    sync(m)
-    dt = time.time() - t0
+        t0 = time.time()
+        for it in range(WARMUP, WARMUP + ITERS):
+            m = one_iter(it)
+        sync(m)
+        dt = time.time() - t0
     log(f"bench: {ITERS} iters in {dt:.2f}s")
+    if n_dev > 1:
+        log(f"bench: total throughput {gbatch * ITERS / dt:.2f} img/s over "
+            f"{n_dev} chips")
 
     images_per_sec = BATCH * ITERS / dt
     print(json.dumps({

@@ -52,3 +52,26 @@ def test_graft_entry_single_chip():
     finally:
         if monkey_path:
             sys.path.remove(REPO)
+
+
+def test_bench_smoke_mesh(monkeypatch, capsys):
+    """BENCH_MESH=auto: the same bench data-parallels over the fake 8-device
+    mesh (replicated state, sharded batch) and still emits the per-chip JSON
+    line — validating the multi-chip bench path without TPUs."""
+    monkeypatch.setenv("BENCH_BATCH", "1")
+    monkeypatch.setenv("BENCH_ITERS", "2")
+    monkeypatch.setenv("BENCH_CROP", "64")
+    monkeypatch.setenv("BENCH_TINY", "1")
+    monkeypatch.setenv("BENCH_BF16", "0")
+    monkeypatch.setenv("BENCH_ACT_BF16", "0")
+    monkeypatch.setenv("BENCH_MESH", "auto")
+    monkeypatch.syspath_prepend(REPO)
+    import jax
+    assert jax.device_count() == 8   # conftest's fake mesh
+    import bench
+    importlib.reload(bench)
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(out[-1])
+    assert rec["unit"] == "images/sec/chip"
+    assert rec["value"] > 0
