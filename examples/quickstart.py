@@ -140,7 +140,15 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--n-train", type=int, default=32)
     p.add_argument("--n-test", type=int, default=4)
+    p.add_argument("--platform", choices=["auto", "cpu"], default="auto",
+                   help="cpu: force the CPU backend in-process (more robust "
+                        "than JAX_PLATFORMS when a site hook pre-registers "
+                        "an accelerator)")
     opts = p.parse_args(argv)
+
+    if opts.platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     os.makedirs(opts.outdir, exist_ok=True)
     data_root = os.path.join(opts.outdir, "data")

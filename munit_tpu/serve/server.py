@@ -44,6 +44,10 @@ import jax
 import jax.numpy as jnp
 
 
+class Overloaded(RuntimeError):
+    """Request shed by the micro-batcher's admission control (HTTP 503)."""
+
+
 class MicroBatcher:
     """Dynamic micro-batching for the translate dispatch.
 
@@ -64,9 +68,15 @@ class MicroBatcher:
 
     def __init__(self, run_batch, max_batch: int = 8,
                  max_wait_ms: float = 4.0, adaptive: bool = True,
-                 min_batch: int = 1):
+                 min_batch: int = 1, max_queue: Optional[int] = None):
         self.run_batch = run_batch
         self.max_batch = max_batch
+        # Admission control: beyond ~8 full dispatches of queued work the
+        # device is saturated and every additional accepted request only
+        # grows latency + host memory unboundedly — shed load instead
+        # (HTTP 503 upstream).
+        self.max_queue = max_queue if max_queue is not None \
+            else 8 * max_batch
         self.min_batch = max(1, min_batch)  # mesh serving: multiple of n_dev
         self.max_wait = max_wait_ms / 1e3
         # Adaptive wait: coalescing-by-waiting only pays during a burst
@@ -89,7 +99,7 @@ class MicroBatcher:
         self._q: List[dict] = []
         self._cv = threading.Condition()
         self._closed = False
-        self.stats = {"requests": 0, "batches": 0,
+        self.stats = {"requests": 0, "batches": 0, "rejected": 0,
                       "batch_hist": {}, "device_ms": 0.0}
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="munit-microbatcher")
@@ -102,6 +112,10 @@ class MicroBatcher:
         with self._cv:
             if self._closed:
                 raise RuntimeError("batcher closed")
+            if len(self._q) >= self.max_queue:
+                self.stats["rejected"] += 1
+                raise Overloaded(
+                    f"queue full ({self.max_queue} waiting requests)")
             now = time.monotonic()
             if self._last_arrival is not None:
                 d = now - self._last_arrival
@@ -429,6 +443,14 @@ def _make_handler(service: TranslationService):
             try:
                 img = Image.open(io.BytesIO(data))
                 out = service.translate(img, style)
+            except Overloaded as e:
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_response(503)
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             except Exception as e:  # noqa: BLE001
                 body = json.dumps({"error": str(e)}).encode()
                 self.send_response(400)

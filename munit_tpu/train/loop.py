@@ -35,6 +35,28 @@ def _dev(batch, key):
     return jnp.asarray(batch[key])
 
 
+class TrainingDiverged(RuntimeError):
+    """A logged loss went NaN/Inf — the Adam state is poisoned and every
+    later step is garbage; stop instead of silently training on."""
+
+
+def _check_finite(metrics, step):
+    """Divergence guard at the metric flush (zero extra device work — the
+    scalars were just materialized for logging). The reference trains
+    straight through NaNs; here a non-finite loss aborts with a pointer at
+    the last good snapshot. MUNIT_NAN_ABORT=0 restores the reference's
+    keep-going behavior."""
+    if os.environ.get("MUNIT_NAN_ABORT", "1") != "1":
+        return
+    bad = [k for k, v in metrics.items() if not np.isfinite(float(v))]
+    if bad:
+        raise TrainingDiverged(
+            f"non-finite loss at iteration {step}: {', '.join(sorted(bad))}. "
+            "Training state is unrecoverable past this point; resume from "
+            "the last checkpoint (--resume) with a lower lr or gan_w. "
+            "Set MUNIT_NAN_ABORT=0 to continue anyway.")
+
+
 def train_loop(trainer, conf, loaders, output_directory: str,
                logger: Optional[MetricLogger] = None,
                start_iteration: int = 0,
@@ -166,6 +188,7 @@ def train_loop(trainer, conf, loaders, output_directory: str,
             if len(pending) >= flush_every:
                 for step_, m_ in pending:
                     logger.log_metrics(m_, step_)
+                    _check_finite(m_, step_)
                 pending.clear()
                 # host-side throughput over the flushed window (includes
                 # compile time in the first window — observability, not a

@@ -149,3 +149,21 @@ def test_graceful_preemption_snapshots_and_stops(tmp_path):
     assert end == 4  # stopped right after the interrupted iteration
     ckpts = os.listdir(os.path.join(out, "checkpoints"))
     assert any("4" in c for c in ckpts), ckpts
+
+
+def test_nan_guard_aborts_with_pointer(monkeypatch):
+    """A non-finite logged loss raises TrainingDiverged at the metric flush
+    (the reference trains straight through NaNs); MUNIT_NAN_ABORT=0 restores
+    the keep-going behavior."""
+    import numpy as np
+    import pytest
+    from munit_tpu.train.loop import TrainingDiverged, _check_finite
+
+    _check_finite({"loss_gen_total": 1.0}, 10)           # finite: no-op
+    with pytest.raises(TrainingDiverged, match="loss_dis_total"):
+        _check_finite({"loss_dis_total": float("nan"),
+                       "loss_gen_total": 1.0}, 10)
+    with pytest.raises(TrainingDiverged):
+        _check_finite({"loss_gen_total": np.float32("inf")}, 10)
+    monkeypatch.setenv("MUNIT_NAN_ABORT", "0")
+    _check_finite({"loss_gen_total": float("nan")}, 10)  # opt-out

@@ -221,3 +221,38 @@ def test_http_round_trip():
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_microbatcher_sheds_load_when_queue_full():
+    """Admission control: beyond max_queue waiting requests, submit raises
+    Overloaded (HTTP 503 upstream) instead of queueing unboundedly."""
+    import time
+    from munit_tpu.serve.server import MicroBatcher, Overloaded
+
+    release = threading.Event()
+
+    def slow_run(x, s):
+        release.wait(5.0)
+        return x
+
+    mb = MicroBatcher(slow_run, max_batch=1, max_wait_ms=1.0, max_queue=2)
+    results = []
+
+    def worker():
+        try:
+            mb.submit(np.zeros((1, 4, 4, 3), np.float32), np.zeros((1, 2)))
+            results.append("ok")
+        except Overloaded:
+            results.append("shed")
+
+    threads = [threading.Thread(target=worker) for _ in range(6)]
+    for t in threads:
+        t.start()
+        time.sleep(0.02)   # let the queue actually fill in order
+    release.set()
+    for t in threads:
+        t.join(timeout=10)
+    assert "shed" in results           # at least one rejected
+    assert results.count("ok") >= 3    # dispatcher drained the rest
+    assert mb.stats["rejected"] == results.count("shed")
+    mb.close()
