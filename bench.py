@@ -108,20 +108,23 @@ def main():
     # BENCH.md). BENCH_ACT_BF16=0 for the f32-activation variant.
     act_dtype = jnp.bfloat16 if os.environ.get("BENCH_ACT_BF16", "1") == "1" \
         else jnp.float32
-    x_a = jnp.asarray(rng.randn(gbatch, CROP, CROP, 3), act_dtype)
-    x_b = jnp.asarray(rng.randn(gbatch, CROP, CROP, 3), act_dtype)
-    mask = jnp.asarray((rng.rand(gbatch, CROP, CROP, 1) > 0.5)
-                       .astype(np.float32))
+    x_a = rng.randn(gbatch, CROP, CROP, 3)
+    x_b = rng.randn(gbatch, CROP, CROP, 3)
+    mask = (rng.rand(gbatch, CROP, CROP, 1) > 0.5).astype(np.float32)
     import contextlib
     mesh_ctx = contextlib.nullcontext()
     if mesh is not None:
-        from munit_tpu.dist import shard_batch
-        from munit_tpu.dist.mesh import replicate_state
+        from munit_tpu.dist import replicate_state, shard_batch
         tr.state = replicate_state(mesh, tr.state)
-        b = shard_batch(mesh, {"x_a": np.asarray(x_a), "x_b": np.asarray(x_b),
-                               "mask": np.asarray(mask)})
+        b = shard_batch(mesh, {"x_a": np.asarray(x_a, act_dtype),
+                               "x_b": np.asarray(x_b, act_dtype),
+                               "mask": mask})
         x_a, x_b, mask = b["x_a"], b["x_b"], b["mask"]
         mesh_ctx = mesh
+    else:
+        x_a = jnp.asarray(x_a, act_dtype)
+        x_b = jnp.asarray(x_b, act_dtype)
+        mask = jnp.asarray(mask)
 
     ad = conf["adaptation"]
 

@@ -57,10 +57,9 @@ def make_scene(rng: np.random.RandomState, size: int) -> np.ndarray:
 def flood(img: np.ndarray, rng: np.random.RandomState):
     """Domain B: the bottom is water — a blue-tinted vertical reflection."""
     size = img.shape[0]
-    level = int(size * rng.uniform(0.6, 0.8))
+    level = int(size * rng.uniform(0.6, 0.8))   # always > size/2
     out = img.copy()
-    refl = img[2 * level - size:level][::-1] if 2 * level - size >= 0 \
-        else img[:size - level][::-1]
+    refl = img[2 * level - size:level][::-1]
     water = 0.55 * refl + np.array([0.05, 0.1, 0.25], np.float32)
     out[level:] = water[:size - level] * 0.9 + out[level:] * 0.1
     mask = np.zeros((size, size), np.float32)

@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import argparse
+import os
 
 import jax
 import jax.numpy as jnp
@@ -61,7 +62,6 @@ def cmd_export(opts):
 
 def cmd_pack(opts):
     """orbax trainer state (or reference .pt) → compact bf16 serving .npz."""
-    import os
     from munit_tpu.config import get_config
     from munit_tpu.cli.translate import load_gen_params
     from munit_tpu.io.checkpoint import save_inference_params
@@ -79,7 +79,6 @@ def cmd_export_aot(opts):
     the destination (munit_tpu/io/aot.py) — the TPU-native answer to the
     reference's serve-by-rebuilding-the-trainer (test.py:55-73).
     """
-    import jax.numpy as jnp_
     from munit_tpu.config import get_config
     from munit_tpu.cli.translate import load_gen_params
     from munit_tpu.core import ops
@@ -91,13 +90,12 @@ def cmd_export_aot(opts):
     params = load_gen_params(opts.ckpt, conf)
     if opts.dtype == "bf16":
         # production inference numerics (what bench_infer measures)
-        ops.set_conv_compute(jnp_.bfloat16, jax.lax.Precision.DEFAULT)
+        ops.set_conv_compute(jnp.bfloat16, jax.lax.Precision.DEFAULT)
     platforms = tuple(opts.platforms.split(","))
     aot.save_artifact(opts.out, gen, params, conf["new_size"],
                       conf["gen"]["style_dim"], platforms=platforms,
                       conv_dtype={"bf16": "bfloat16", "f32": "float32"}[
                           opts.dtype])
-    import os
     print(f"exported AOT artifact → {opts.out} "
           f"({os.path.getsize(opts.out) / 1e6:.1f} MB, "
           f"platforms={','.join(platforms)}, convs={opts.dtype})")

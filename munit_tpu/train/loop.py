@@ -111,6 +111,25 @@ def train_loop(trainer, conf, loaders, output_directory: str,
     profiling = False
     import time as _time
     tput_t0, tput_imgs = _time.monotonic(), 0
+
+    def _flush_pending():
+        """Log then divergence-check the buffered window. On divergence,
+        finalize an active profiler trace and drain the async checkpoint
+        writer BEFORE raising — the error message points the user at the
+        last checkpoint, so its commit must have been awaited."""
+        try:
+            for step_, m_ in pending:
+                logger.log_metrics(m_, step_)
+            for step_, m_ in pending:
+                _check_finite(m_, step_)
+        except TrainingDiverged:
+            if profiling:
+                from munit_tpu.utils.profiling import stop_trace
+                stop_trace()
+            if ckpt_writer is not None:
+                ckpt_writer.close()
+            raise
+        pending.clear()
     while iterations < max_iter:
         if profile is not None:
             if iterations == profile[0] and not profiling:
@@ -186,10 +205,7 @@ def train_loop(trainer, conf, loaders, output_directory: str,
             # step, train.py:225)
             pending.append((iterations + 1, metrics))
             if len(pending) >= flush_every:
-                for step_, m_ in pending:
-                    logger.log_metrics(m_, step_)
-                    _check_finite(m_, step_)
-                pending.clear()
+                _flush_pending()
                 # host-side throughput over the flushed window (includes
                 # compile time in the first window — observability, not a
                 # benchmark; bench.py owns the measured number)
@@ -232,6 +248,10 @@ def train_loop(trainer, conf, loaders, output_directory: str,
 
         iterations += 1
         if stop is not None and stop.is_set():
+            # divergence-check the unflushed window BEFORE the preemption
+            # snapshot, so a poisoned state never overwrites the last good
+            # checkpoint
+            _flush_pending()
             if ckpt_writer is None:
                 from munit_tpu.io.checkpoint import CheckpointWriter
                 ckpt_writer = CheckpointWriter(
@@ -243,13 +263,12 @@ def train_loop(trainer, conf, loaders, output_directory: str,
     if profiling:
         from munit_tpu.utils.profiling import stop_trace
         stop_trace()
-    for step_, m_ in pending:
-        logger.log_metrics(m_, step_)
-    if pending:
+    last_step = pending[-1][0] if pending else None
+    _flush_pending()   # final window: logged AND divergence-checked
+    if last_step is not None:
         dt = _time.monotonic() - tput_t0
         if dt > 0 and tput_imgs:
-            logger.log_metrics({"images_per_sec": tput_imgs / dt},
-                               pending[-1][0])
+            logger.log_metrics({"images_per_sec": tput_imgs / dt}, last_step)
     if ckpt_writer is not None:
         ckpt_writer.close()   # drain pending async checkpoint writes
     return iterations
