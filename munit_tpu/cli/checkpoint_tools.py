@@ -91,14 +91,52 @@ def cmd_export_aot(opts):
     if opts.dtype == "bf16":
         # production inference numerics (what bench_infer measures)
         ops.set_conv_compute(jnp.bfloat16, jax.lax.Precision.DEFAULT)
+
+    quant_scales = None
+    if opts.quant == "int8":
+        # calibrated-static W8A8 baked into the exported program (the same
+        # record pass cli/translate --quant int8 runs at startup; site
+        # order is trace order, identical between this body and the export)
+        import glob
+        import numpy as np
+        from munit_tpu.cli.translate import load_image
+        if not opts.calib_dir:
+            raise SystemExit("--quant int8 needs --calib-dir")
+        files = sorted(glob.glob(os.path.join(opts.calib_dir, "*")))[:8]
+        if not files:
+            raise SystemExit(f"no calibration images in {opts.calib_dir}")
+        style = load_image(opts.calib_style or files[0], conf["new_size"])
+        s_b = jax.jit(lambda x: gen.encode(params, x, 2)[1])(style)
+
+        @jax.jit
+        def record(x, s):
+            rec = []
+            with ops.conv_quant(record=rec):
+                c, _ = gen.encode(params, x, 1)
+                out = gen.decode(params, c, s, 2)
+            return out, (jnp.stack(rec) if rec else jnp.zeros((0,)))
+
+        mx = None
+        for pth in files:
+            _, m = record(load_image(pth, conf["new_size"]), s_b)
+            m = np.asarray(m)
+            mx = m if mx is None else np.maximum(mx, m)
+        quant_scales = [1.1 * float(v) for v in mx]
+        if not quant_scales:
+            print("export-aot: no convs met the int8 shape heuristic at "
+                  "this architecture — exporting unquantized")
+            quant_scales = None
+
     platforms = tuple(opts.platforms.split(","))
     aot.save_artifact(opts.out, gen, params, conf["new_size"],
                       conf["gen"]["style_dim"], platforms=platforms,
                       conv_dtype={"bf16": "bfloat16", "f32": "float32"}[
-                          opts.dtype])
+                          opts.dtype],
+                      quant_scales=quant_scales)
     print(f"exported AOT artifact → {opts.out} "
           f"({os.path.getsize(opts.out) / 1e6:.1f} MB, "
-          f"platforms={','.join(platforms)}, convs={opts.dtype})")
+          f"platforms={','.join(platforms)}, convs={opts.dtype}, "
+          f"quant={'int8-static' if quant_scales else 'none'})")
 
 
 def main(argv=None):
@@ -133,6 +171,14 @@ def main(argv=None):
                    help="comma-separated export platforms (default cpu,tpu)")
     a.add_argument("--dtype", choices=["bf16", "f32"], default="bf16",
                    help="conv compute baked into the traced program")
+    a.add_argument("--quant", choices=["none", "int8"], default="none",
+                   help="int8: bake calibrated-static W8A8 convs into the "
+                        "exported translate program (needs --calib-dir)")
+    a.add_argument("--calib-dir", default=None,
+                   help="folder of real content images for int8 calibration")
+    a.add_argument("--calib-style", default=None,
+                   help="style exemplar for calibration (default: first "
+                        "calibration image)")
     opts = p.parse_args(argv)
     {"import": cmd_import, "export": cmd_export, "pack": cmd_pack,
      "export-aot": cmd_export_aot}[opts.cmd](opts)

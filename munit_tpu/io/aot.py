@@ -46,13 +46,21 @@ def _export_fn(fn, args, platforms: Sequence[str]):
 
 
 def export_translator(gen, params, image_size: int,
-                      platforms: Sequence[str] = ("cpu", "tpu")):
+                      platforms: Sequence[str] = ("cpu", "tpu"),
+                      quant_scales: Optional[Sequence[float]] = None,
+                      quant_all: bool = False):
     """Export (encode_style, translate) with a symbolic batch dim.
 
     ``gen`` is a GenBundle; ``params`` its parameter pytree. Returns
     {"encode_style": Exported, "translate": Exported}. The style-code
     shape is whatever ``gen.encode(..., 2)[1]`` produces — ``translate``
     takes it positionally, so callers never need to know it.
+
+    ``quant_scales``: per-site activation maxima from a calibration pass
+    (``core.ops.conv_quant(record=...)`` over the same translate body) —
+    bakes calibrated-static W8A8 int8 convs into the exported translate
+    program (encode_style stays full precision; it runs once per style).
+    ``quant_all`` bypasses the shape heuristic (tests/A-B only).
     """
     (b,) = jexport.symbolic_shape("b")
     img = jax.ShapeDtypeStruct((b, image_size, image_size, 3), jnp.float32)
@@ -66,9 +74,16 @@ def export_translator(gen, params, image_size: int,
     s_spec = jax.ShapeDtypeStruct(enc.out_avals[0].shape,
                                   enc.out_avals[0].dtype)
 
-    def translate(x_a, s_b):
+    def body(x_a, s_b):
         c_a, _ = gen.encode(params, x_a, 1)
         return gen.decode(params, c_a, s_b, 2)
+
+    def translate(x_a, s_b):
+        if quant_scales is not None:
+            from munit_tpu.core import ops
+            with ops.conv_quant(scales=quant_scales, all_convs=quant_all):
+                return body(x_a, s_b)
+        return body(x_a, s_b)
 
     tr = _export_fn(translate, (img, s_spec), platforms)
     return {"encode_style": enc, "translate": tr}
@@ -76,19 +91,23 @@ def export_translator(gen, params, image_size: int,
 
 def save_artifact(path: str, gen, params, image_size: int, style_dim: int,
                   platforms: Sequence[str] = ("cpu", "tpu"),
-                  conv_dtype: str = "bfloat16") -> None:
+                  conv_dtype: str = "bfloat16",
+                  quant_scales: Optional[Sequence[float]] = None,
+                  quant_all: bool = False) -> None:
     """Export and write the deployment artifact zip to ``path``.
 
     ``conv_dtype`` is recorded metadata only — the caller configures
     ``ops.set_conv_compute`` BEFORE calling (the traced programs bake it in).
     """
-    ex = export_translator(gen, params, image_size, platforms)
+    ex = export_translator(gen, params, image_size, platforms,
+                           quant_scales=quant_scales, quant_all=quant_all)
     meta = {
         "format": FORMAT,
         "new_size": image_size,
         "style_dim": style_dim,
         "platforms": list(platforms),
         "conv_dtype": conv_dtype,
+        "quant": "int8-static" if quant_scales is not None else "none",
         "created_by": "munit_tpu",
     }
     buf = io.BytesIO()

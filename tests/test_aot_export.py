@@ -145,3 +145,53 @@ def test_aot_artifact_rejects_quant(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         TranslationService(artifact=path, quant="int8")
+
+
+def test_aot_int8_static_quant_baked(tmp_path):
+    """quant_scales bakes calibrated-static W8A8 convs into the exported
+    translate program: the artifact matches the directly-quantized body and
+    demonstrably differs from the unquantized one (quant_all bypasses the
+    shape heuristic so tiny test channels quantize at all)."""
+    from munit_tpu.core import ops
+
+    conf = _tiny_conf()
+    gen, params = _init_params(conf)
+    rng = np.random.RandomState(7)
+    style = jnp.asarray(rng.randn(1, 32, 32, 3), jnp.float32) * 0.3
+    x = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32) * 0.3
+    _, s1 = gen.encode(params, style, 2)
+    s = jnp.broadcast_to(s1, (2,) + s1.shape[1:])
+
+    def body(x_a, s_b):
+        c, _ = gen.encode(params, x_a, 1)
+        return gen.decode(params, c, s_b, 2)
+
+    @jax.jit
+    def record(x_a, s_b):
+        rec = []
+        with ops.conv_quant(record=rec, all_convs=True):
+            out = body(x_a, s_b)
+        return out, jnp.stack(rec)
+
+    _, mx = record(x, s)
+    scales = [1.1 * float(v) for v in np.asarray(mx)]
+    assert scales   # all_convs: every generator conv is a site
+
+    path = str(tmp_path / "model_int8.jexp.zip")
+    aot.save_artifact(path, gen, params, 32, conf["gen"]["style_dim"],
+                      platforms=("cpu",), conv_dtype="float32",
+                      quant_scales=scales, quant_all=True)
+    t = aot.load_artifact(path)
+    assert t.meta["quant"] == "int8-static"
+
+    got = np.asarray(t.translate(x, s1))
+
+    @jax.jit
+    def direct(x_a, s_b):
+        with ops.conv_quant(scales=scales, all_convs=True):
+            return body(x_a, s_b)
+
+    want = np.asarray(direct(x, s))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=0)
+    # quantization is actually engaged: differs from the f32 program
+    assert np.abs(got - np.asarray(jax.jit(body)(x, s))).max() > 1e-4
