@@ -66,6 +66,40 @@ def main():
     results = {}
     batches = tuple(int(b) for b in
                     os.environ.get("BENCH_BATCHES", "1,8,32").split(","))
+
+    if os.environ.get("BENCH_AOT", "0") == "1":
+        # A/B the AOT deployment artifact (jax.export serialized program,
+        # symbolic batch) against the jit path on the SAME serving dispatch
+        # (precomputed style code, as serve does)
+        from munit_tpu.io.aot import export_translator
+        ex = export_translator(gen, params, 256,
+                               platforms=(jax.devices()[0].platform,))
+        aot_translate = jax.jit(ex["translate"].call)
+
+        @jax.jit
+        def jit_translate(x_a, s_b):
+            c_a, _ = gen.encode(params, x_a, 1)
+            return gen.decode(params, c_a, s_b, 2)
+
+        s_code = jax.jit(lambda x: gen.encode(params, x, 2)[1])(
+            jnp.asarray(rng.randn(1, 256, 256, 3).astype(np.float32)))
+        for batch in batches:
+            x = jnp.asarray(rng.randn(batch, 256, 256, 3).astype(np.float32))
+            s = jnp.broadcast_to(s_code, (batch,) + s_code.shape[1:])
+            s = jnp.asarray(s)
+            for name, fn in (("jit", jit_translate), ("aot", aot_translate)):
+                out = fn(x, s)
+                float(out[0, 0, 0, 0])
+                iters = 20
+                t0 = time.time()
+                for _ in range(iters):
+                    out = fn(x, s)
+                float(out[0, 0, 0, 0])
+                dt = time.time() - t0
+                results[f"{name}_batch{batch}_ms_per_image"] = round(
+                    dt / iters / batch * 1000, 3)
+        print(json.dumps(results))
+        return
     for batch in batches:
         x = jnp.asarray(rng.randn(batch, 256, 256, 3).astype(np.float32))
         s = jnp.asarray(rng.randn(batch, 256, 256, 3).astype(np.float32))
