@@ -114,6 +114,16 @@ class DataLoader:
             while True:
                 idx = self._epoch_indices(epoch)
                 usable = (len(idx) // self.batch_size) * self.batch_size
+                if usable == 0 and not single_epoch:
+                    # drop_last with len(dataset) < batch_size (e.g. a
+                    # multi-host shard smaller than the per-host batch):
+                    # the infinite stream would otherwise spin forever
+                    # yielding nothing and training would hang silently
+                    raise ValueError(
+                        f"dataset yields 0 usable batches: {len(idx)} "
+                        f"samples < batch_size={self.batch_size} "
+                        "(drop_last). Reduce batch_size or provide more "
+                        "samples per host shard.")
                 if skip >= usable > 0:
                     skip -= usable          # whole epoch already consumed
                 else:

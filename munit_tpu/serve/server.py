@@ -225,7 +225,14 @@ class TranslationService:
             self.artifact = aot.load_artifact(artifact)
             self.gen = None
             self.params = None
-            self.new_size = new_size or self.artifact.new_size
+            if new_size and new_size != self.artifact.new_size:
+                # H/W are STATIC in the exported programs (only batch is
+                # symbolic) — reject here instead of a cryptic aval
+                # mismatch at the first dispatch
+                raise ValueError(
+                    f"artifact was exported at {self.artifact.new_size}px; "
+                    f"new_size={new_size} cannot be served from it")
+            self.new_size = self.artifact.new_size
         else:
             from munit_tpu.train import GenBundle
             self.gen = GenBundle(conf)
@@ -236,6 +243,8 @@ class TranslationService:
         self.styles: Dict[str, jax.Array] = {}
         self._style_imgs: Dict[str, jax.Array] = {}
         self._lock = threading.Lock()
+        self._direct_limit = 64   # non-batched path admission bound
+        self._direct_slots = threading.BoundedSemaphore(self._direct_limit)
 
         # Data-parallel serving: with >1 chip visible, shard every batched
         # dispatch over a (data,) mesh — params replicated, batch split
@@ -389,8 +398,18 @@ class TranslationService:
             out = self.batcher.submit(np.asarray(self._prep(img)),
                                       self.styles[style])
         else:
-            with self._lock:  # single program stream; serialize dispatch
-                out = self._run_padded(self._prep(img), self.styles[style])
+            # same admission control the micro-batcher applies: bound the
+            # threads waiting on the dispatch lock instead of queueing a
+            # request flood unboundedly (one HTTP thread per connection)
+            if not self._direct_slots.acquire(blocking=False):
+                raise Overloaded(
+                    f"queue full ({self._direct_limit} waiting requests)")
+            try:
+                with self._lock:  # single program stream; serialize dispatch
+                    out = self._run_padded(self._prep(img),
+                                           self.styles[style])
+            finally:
+                self._direct_slots.release()
         arr = np.asarray((out[0] + 1.0) * 0.5)
         lo, hi = arr.min(), arr.max()
         arr = (arr - lo) / max(hi - lo, 1e-5)
@@ -447,6 +466,7 @@ def _make_handler(service: TranslationService):
                 body = json.dumps({"error": str(e)}).encode()
                 self.send_response(503)
                 self.send_header("Retry-After", "1")
+                self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
@@ -454,6 +474,7 @@ def _make_handler(service: TranslationService):
             except Exception as e:  # noqa: BLE001
                 body = json.dumps({"error": str(e)}).encode()
                 self.send_response(400)
+                self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)

@@ -233,6 +233,11 @@ def train_loop(trainer, conf, loaders, output_directory: str,
             # async: the D2H snapshot happens before save() returns; the
             # disk write overlaps subsequent train steps (MUNIT_ASYNC_CKPT=0
             # restores the blocking write)
+            # divergence-check the buffered window BEFORE committing a
+            # snapshot — a NaN that happened since the last flush must not
+            # produce a poisoned checkpoint that the abort message then
+            # calls "the last good one"
+            _flush_pending()
             if ckpt_writer is None:
                 from munit_tpu.io.checkpoint import CheckpointWriter
                 ckpt_writer = CheckpointWriter(

@@ -195,3 +195,18 @@ def test_aot_int8_static_quant_baked(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=0)
     # quantization is actually engaged: differs from the f32 program
     assert np.abs(got - np.asarray(jax.jit(body)(x, s))).max() > 1e-4
+
+
+def test_aot_artifact_rejects_new_size_mismatch(tmp_path):
+    """H/W are static in the export (only batch is symbolic): a new_size
+    override must be rejected at construction, not as an aval mismatch at
+    the first dispatch."""
+    import pytest
+
+    conf = _tiny_conf()
+    gen, params = _init_params(conf)
+    path = str(tmp_path / "model.jexp.zip")
+    aot.save_artifact(path, gen, params, 32, conf["gen"]["style_dim"],
+                      platforms=("cpu",), conv_dtype="float32")
+    with pytest.raises(ValueError, match="exported at 32px"):
+        TranslationService(artifact=path, new_size=64, mesh="off")

@@ -309,3 +309,17 @@ def test_image_label_filelist(tmp_path):
               for i in range(4)]
     assert labels == [0, 0, 1, 1]
     assert ds.get(0, np.random.default_rng(0))["image"].shape == (32, 32, 3)
+
+
+def test_loader_errors_on_zero_usable_batches():
+    """drop_last with len(dataset) < batch_size (e.g. a multi-host shard
+    smaller than the per-host batch) must fail loudly, not spin the index
+    stream forever with the consumer blocked on an empty queue."""
+    import pytest
+
+    ds = _CountingDataset(2)
+    loader = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2,
+                        seed=0, prefetch=2)
+    it = iter(loader)
+    with pytest.raises(ValueError, match="0 usable batches"):
+        next(it)

@@ -167,3 +167,35 @@ def test_nan_guard_aborts_with_pointer(monkeypatch):
         _check_finite({"loss_gen_total": np.float32("inf")}, 10)
     monkeypatch.setenv("MUNIT_NAN_ABORT", "0")
     _check_finite({"loss_gen_total": float("nan")}, 10)  # opt-out
+
+
+def test_snapshot_divergence_checks_before_commit(tmp_path):
+    """A NaN sitting in the unflushed metric window must abort BEFORE the
+    periodic snapshot commits poisoned state (the abort message points at
+    'the last checkpoint' — it must never be the poisoned one)."""
+    import os
+    import pytest
+    from munit_tpu.train.loop import TrainingDiverged
+
+    conf = validate({
+        "ratio_disc_gen": 3, "log_iter": 1, "snapshot_save_iter": 4,
+        "image_save_iter": 1000, "image_display_iter": 1000,
+    })
+    tr = SpyTrainer(conf)
+    orig = tr.dis_update
+
+    def nan_dis(*a, **k):
+        orig(*a, **k)
+        bad = tr.iterations == 2
+        return {"loss_dis_total": float("nan") if bad else 1.0}
+
+    tr.dis_update = nan_dis
+    out = str(tmp_path / "run")
+    with pytest.raises(TrainingDiverged, match="loss_dis_total"):
+        train_loop(tr, conf, {"a": FakeLoader(), "b": FakeLoader()}, out,
+                   max_iter=100)
+    # flush_every=100 means nothing flushed before the snapshot gate at
+    # iteration 4 — the pre-snapshot check fired and NO checkpoint exists
+    # (the writer was never even constructed, so the dir may be absent)
+    ckpt_dir = os.path.join(out, "checkpoints")
+    assert not os.path.exists(ckpt_dir) or os.listdir(ckpt_dir) == []

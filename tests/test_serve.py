@@ -256,3 +256,43 @@ def test_microbatcher_sheds_load_when_queue_full():
     assert results.count("ok") >= 3    # dispatcher drained the rest
     assert mb.stats["rejected"] == results.count("shed")
     mb.close()
+
+
+def test_direct_path_sheds_load_too():
+    """--max-batch 1 (no batcher) still applies admission control: threads
+    beyond the direct-path bound get Overloaded instead of queueing on the
+    dispatch lock unboundedly."""
+    import time
+    from munit_tpu.serve.server import Overloaded
+
+    svc = make_service(max_batch=1)
+    release = threading.Event()
+    orig = svc._run_padded
+
+    def slow_run(x, s):
+        release.wait(5.0)
+        return orig(x, s)
+
+    svc._run_padded = slow_run
+    svc._direct_limit = 2
+    svc._direct_slots = threading.BoundedSemaphore(2)
+
+    rng = np.random.RandomState(2)
+    img = Image.fromarray(rng.randint(0, 255, (40, 40, 3), np.uint8))
+    results = []
+
+    def worker():
+        try:
+            svc.translate(img)
+            results.append("ok")
+        except Overloaded:
+            results.append("shed")
+
+    threads = [threading.Thread(target=worker) for _ in range(5)]
+    for t in threads:
+        t.start()
+        time.sleep(0.05)
+    release.set()
+    for t in threads:
+        t.join(timeout=10)
+    assert results.count("shed") == 3 and results.count("ok") == 2
