@@ -62,7 +62,13 @@ def build_loaders(conf, seed=0, **shard):
         # live when this metric fn is attached). Needs converted InceptionV3
         # variables — path via conf["inception_ckpt_path"].
         ckpt = conf.get("inception_ckpt_path")
-        if ckpt and os.path.exists(str(ckpt)):
+        if jax.process_count() > 1:
+            # sample_fid/inception run on host-local FID batches, which
+            # cannot join a multi-process computation; run
+            # `evaluate fid` offline on the snapshots instead
+            print("WARNING: in-training FID is single-process only — "
+                  "disabled under --dist; use cli/evaluate fid offline")
+        elif ckpt and os.path.exists(str(ckpt)):
             import pickle
             from munit_tpu.eval.fid import prepare_inception_metrics
             with open(str(ckpt), "rb") as f:
@@ -83,6 +89,17 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--mesh", action="store_true",
                    help="data-parallel over all devices")
+    p.add_argument("--platform", choices=["auto", "cpu"], default="auto",
+                   help="force the CPU backend (overrides accelerator site "
+                        "hooks — same as examples/quickstart.py)")
+    p.add_argument("--dist", default=None, metavar="SPEC",
+                   help="multi-host launch: 'auto' (cluster env auto-detect "
+                        "— TPU pods, SLURM) or explicit "
+                        "'coordinator:port,num_processes,process_id'. "
+                        "Initializes jax.distributed; combine with --mesh. "
+                        "Each process then loads a disjoint loader shard and "
+                        "device_prefetch assembles global batches "
+                        "(SURVEY §5.8d).")
     p.add_argument("--spatial", type=int, default=1,
                    help="spatial (H) mesh axis size for HD activation "
                    "sharding (implies --mesh); devices = data x spatial")
@@ -96,6 +113,27 @@ def main(argv=None):
     p.add_argument("--project", default="munit-tpu")
     p.add_argument("--workspace", default=None)
     opts = p.parse_args(argv)
+
+    if opts.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    # Multi-host: join the cluster BEFORE any backend/device query (this
+    # function is the first jax touch on the main path — module imports only
+    # reference jax lazily). All later jax.process_count()/process_index()
+    # checks in this file and train/loop.py key off the initialized cluster.
+    if opts.dist:
+        if opts.dist == "auto":
+            jax.distributed.initialize()
+        else:
+            try:
+                coord, nproc, pid = opts.dist.rsplit(",", 2)
+                jax.distributed.initialize(coordinator_address=coord,
+                                           num_processes=int(nproc),
+                                           process_id=int(pid))
+            except ValueError as e:
+                raise SystemExit(
+                    f"--dist {opts.dist!r}: expected 'auto' or "
+                    f"'coordinator:port,num_processes,process_id' ({e})")
+    lead = jax.process_index() == 0
 
     conf = get_config(opts.config)
     # training numerics (config `precision:`): "bf16" (default) = bf16 MXU
@@ -113,17 +151,19 @@ def main(argv=None):
     model_name = os.path.splitext(os.path.basename(opts.config))[0]
     output_directory = os.path.join(opts.output_path, "outputs", model_name)
     ckpt_dir, img_dir = prepare_sub_folder(output_directory)
-    shutil.copy(opts.config, os.path.join(output_directory, "config.yaml"))
+    if lead:  # run-dir artifacts are process 0's (shared-FS multi-host safe)
+        shutil.copy(opts.config, os.path.join(output_directory, "config.yaml"))
 
     comet_exp = None
-    if opts.comet:
+    if opts.comet and lead:
         try:
             from comet_ml import Experiment
             comet_exp = Experiment(workspace=opts.workspace,
                                    project_name=opts.project)
         except ImportError:
             print("WARNING: comet_ml not installed; continuing without it")
-    logger = MetricLogger(output_directory, comet_experiment=comet_exp)
+    logger = MetricLogger(output_directory, comet_experiment=comet_exp,
+                          enabled=lead)
     from munit_tpu.utils.misc import get_git_revision_hash
     params = dict(flatten_opts(conf))
     git_hash = get_git_revision_hash()
@@ -202,6 +242,15 @@ def main(argv=None):
         return jnp.asarray(x)
     tloaders = get_all_data_loaders(conf, seed=opts.seed)
     display_batches = tuple(take(l) for l in tloaders)
+    if mesh is not None and jax.process_count() > 1:
+        # display loaders are NOT sharded, so every process built the same
+        # arrays; sample() mixes them with the global replicated params, so
+        # they must be global too (host-local arrays cannot join a
+        # multi-process computation)
+        from munit_tpu.dist.mesh import replicated
+        rep = replicated(mesh)
+        display_batches = tuple(
+            jax.device_put(x, rep) for x in display_batches)
 
     # Graceful preemption (SURVEY §5.3): on SIGTERM/SIGINT the loop
     # snapshots the full trainer state (params + ExtraAdam moments +

@@ -75,7 +75,12 @@ def train_loop(trainer, conf, loaders, output_directory: str,
     (cli/train installs it on SIGTERM/SIGINT), the loop snapshots the
     full trainer state and returns; ``--resume`` continues exactly
     (tests/test_resume_exact.py covers mid-extrapolation restores)."""
-    logger = logger or MetricLogger(output_directory)
+    # Multi-host: every process drives the identical loop (global-array
+    # computations must be dispatched by all processes — including the
+    # sample grids and the coordinated orbax saves), but run-dir artifacts
+    # (metrics, images, html) belong to process 0 alone.
+    lead = jax.process_index() == 0
+    logger = logger or MetricLogger(output_directory, enabled=lead)
     ckpt_dir = os.path.join(output_directory, "checkpoints")
     img_dir = os.path.join(output_directory, "images")
     max_iter = max_iter or conf["max_iter"]
@@ -218,16 +223,24 @@ def train_loop(trainer, conf, loaders, output_directory: str,
         if display_batches is not None:
             tr_a, tr_b, te_a, te_b = display_batches
             if (iterations + 1) % conf["image_save_iter"] == 0:
-                write_2images(trainer.sample(te_a, te_b), display, img_dir,
-                              "test_%08d" % (iterations + 1), logger)
-                write_2images(trainer.sample(tr_a, tr_b), display, img_dir,
-                              "train_%08d" % (iterations + 1), logger)
-                from munit_tpu.utils.html import write_html
-                write_html(os.path.join(output_directory, "index.html"),
-                           iterations + 1, conf["image_save_iter"], img_dir)
+                # sample() is a global computation (replicated params):
+                # ALL processes dispatch it; only the lead writes files
+                test_grid = trainer.sample(te_a, te_b)
+                train_grid = trainer.sample(tr_a, tr_b)
+                if lead:
+                    write_2images(test_grid, display, img_dir,
+                                  "test_%08d" % (iterations + 1), logger)
+                    write_2images(train_grid, display, img_dir,
+                                  "train_%08d" % (iterations + 1), logger)
+                    from munit_tpu.utils.html import write_html
+                    write_html(os.path.join(output_directory, "index.html"),
+                               iterations + 1, conf["image_save_iter"],
+                               img_dir)
             if (iterations + 1) % conf["image_display_iter"] == 0:
-                write_2images(trainer.sample(tr_a, tr_b), display, img_dir,
-                              "train_current", logger)
+                cur_grid = trainer.sample(tr_a, tr_b)
+                if lead:
+                    write_2images(cur_grid, display, img_dir,
+                                  "train_current", logger)
 
         if (iterations + 1) % conf["snapshot_save_iter"] == 0:
             # async: the D2H snapshot happens before save() returns; the

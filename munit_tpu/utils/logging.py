@@ -16,11 +16,18 @@ from typing import Dict, Optional
 
 class MetricLogger:
     def __init__(self, output_dir: Optional[str] = None, stdout: bool = True,
-                 comet_experiment=None, tensorboard: bool = False):
-        self.stdout = stdout
-        self.comet = comet_experiment
+                 comet_experiment=None, tensorboard: bool = False,
+                 enabled: bool = True):
+        # enabled=False: a muted logger for non-lead processes in multi-host
+        # training — every log_* call is a no-op and no file is touched, so
+        # only process 0 owns the run's metric stream / images / comet.
+        self.enabled = enabled
+        self.stdout = stdout and enabled
+        self.comet = comet_experiment if enabled else None
         self.jsonl = None
         self.tb = None
+        if not enabled:
+            return
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
             self.jsonl = open(os.path.join(output_dir, "metrics.jsonl"), "a")
