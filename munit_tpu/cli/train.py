@@ -87,6 +87,11 @@ def main(argv=None):
     p.add_argument("--config", required=True)
     p.add_argument("--output_path", default=".")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--trainer", default="MUNIT", choices=["MUNIT", "UNIT"],
+                   help="reference train.py:45 flag; like the reference "
+                        "(train.py:69-72), only MUNIT training is supported "
+                        "— UNIT generators are inference-only "
+                        "(translate_batch --trainer UNIT)")
     p.add_argument("--mesh", action="store_true",
                    help="data-parallel over all devices")
     p.add_argument("--platform", choices=["auto", "cpu"], default="auto",
@@ -114,6 +119,8 @@ def main(argv=None):
     p.add_argument("--workspace", default=None)
     opts = p.parse_args(argv)
 
+    if opts.trainer != "MUNIT":
+        raise SystemExit("Only support MUNIT")   # reference train.py:72
     if opts.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
     # Multi-host: join the cluster BEFORE any backend/device query (this

@@ -76,6 +76,15 @@ def main(argv=None):
     p.add_argument("--output_folder", required=True)
     p.add_argument("--save_input", action="store_true")
     p.add_argument("--seed", type=int, default=10)
+    # Drop-in flag compatibility with reference test.py invocations:
+    # --synchronized is parsed but unused by the reference's test.py body
+    # (test.py:28-32 — it only matters in test_batch.py), and --output_path
+    # only pointed at the VGG weight dir (test.py:38-42), which inference
+    # never touches. Accepted as no-ops so migrating scripts run unchanged.
+    p.add_argument("--synchronized", action="store_true",
+                   help="accepted for reference test.py compatibility (no-op)")
+    p.add_argument("--output_path", default=".",
+                   help="accepted for reference test.py compatibility (no-op)")
     p.add_argument("--quant", choices=["none", "int8"], default="none",
                    help="int8: calibrated-static W8A8 on the MXU-bound "
                         "generator convs (small batch-8 win on current "

@@ -146,3 +146,29 @@ def test_train_loop_runs(tmp_path, tiny_config):
     # snapshot_save_iter=2 → checkpoints at steps 2 and 4
     from munit_tpu.io.checkpoint import latest_step
     assert latest_step(os.path.join(outdir, "checkpoints")) == 4
+
+
+def test_translate_cli_accepts_reference_noop_flags(tmp_path, tiny_config):
+    """Reference test.py invocations pass --synchronized / --output_path
+    (test.py:28-42); both are dead at inference but must parse so migrating
+    scripts run unchanged."""
+    conf_path, conf = tiny_config
+    _, ckpt = save_mirror_ckpt(tmp_path, conf)
+    input_folder, style_path = write_images(tmp_path, n=1)
+    out = tmp_path / "out_flags"
+
+    from munit_tpu.cli.translate import main
+    main(["--config", conf_path, "--checkpoint", ckpt,
+          "--input", input_folder, "--style", style_path,
+          "--output_folder", str(out),
+          "--synchronized", "--output_path", str(tmp_path)])
+    assert sorted(os.listdir(out)) == ["output000.jpg"]
+
+
+def test_train_cli_trainer_flag(tiny_config):
+    """`train --trainer UNIT` exits with the reference's exact message
+    (train.py:69-72); --trainer MUNIT is the accepted default."""
+    conf_path, _ = tiny_config
+    from munit_tpu.cli.train import main
+    with pytest.raises(SystemExit, match="Only support MUNIT"):
+        main(["--config", conf_path, "--trainer", "UNIT"])
