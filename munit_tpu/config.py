@@ -27,6 +27,11 @@ _DEFAULTS: Dict[str, Any] = {
     "log_iter": 1,
     "max_iter": 1000000,
     "batch_size": 1,
+    # munit_tpu extension: K>1 averages gradients over K sequential
+    # micro-batches of batch_size/K per optimizer step (see
+    # train/trainer.py::_accum_grads) — fits large effective batches in
+    # one chip's HBM. 1 = reference behavior.
+    "grad_accum": 1,
     "weight_decay": 0.0001,
     "beta1": 0.5,
     "beta2": 0.999,
@@ -127,6 +132,13 @@ def validate(conf: Dict[str, Any]) -> Dict[str, Any]:
     if conf["lr_policy"] not in ("constant", "step"):
         raise NotImplementedError(
             f"learning rate policy [{conf['lr_policy']}] is not implemented")
+    ga = conf["grad_accum"]
+    if not isinstance(ga, int) or ga < 1:
+        raise ValueError(f"grad_accum must be a positive int, got {ga!r}")
+    if conf["batch_size"] % ga:
+        raise ValueError(
+            f"batch_size ({conf['batch_size']}) must be divisible by "
+            f"grad_accum ({ga})")
     return conf
 
 

@@ -275,6 +275,20 @@ class MUNITTrainer:
         # two separate steps (identical math & rng stream).
         self.fused = _os.environ.get(
             "MUNIT_FUSED", str(conf.get("fused", 1))) in ("1", 1, True)
+        # Gradient accumulation (config `grad_accum: K`, munit_tpu
+        # extension): the dis/gen steps average gradients over K sequential
+        # micro-batches of batch_size/K (lax.scan — one micro-batch of
+        # activation residuals live at a time), trading compute for HBM to
+        # fit large effective batches on one chip. Exact for every shipped
+        # loss term (all are full-count means, so the mean of equal-chunk
+        # means IS the full-batch value); batch-stat aux losses
+        # (domain_adv_w's train-mode BN) see per-chunk statistics instead.
+        # Forces the unfused two-step path: the fused step's shared-vjp
+        # whole-batch forward is exactly the memory shape K>1 avoids.
+        self.grad_accum = int(_os.environ.get(
+            "MUNIT_GRAD_ACCUM", str(conf.get("grad_accum", 1))))
+        if self.grad_accum > 1:
+            self.fused = False
         # Opt-in: int8 generator forward in the dis-only steps (the fakes
         # are detached there; see _dis_step_impl). Deviates from reference
         # numerics — never the default, never set by any shipped config.
@@ -557,6 +571,36 @@ class MUNITTrainer:
                                           static_argnames=("extrapolate",),
                                           **donate)
 
+    # --- gradient accumulation --------------------------------------------
+
+    def _accum_grads(self, chunk_fn, xs):
+        """Average ``chunk_fn(**chunk) -> (grads, metrics)`` over
+        K = self.grad_accum sequential micro-batches (equal slices of the
+        leading batch dim of every array in ``xs``). The first chunk runs
+        unrolled (it defines the grads/metrics carry structure); the rest
+        run under lax.scan, so only ONE micro-batch of autodiff residuals
+        is live at any point — the HBM saving that is this feature's point.
+        Chunk means average to the exact full-batch value for every
+        full-count-mean loss (all shipped terms)."""
+        K = self.grad_accum
+        bsz = next(iter(xs.values())).shape[0]
+        if bsz % K:
+            raise ValueError(f"batch {bsz} not divisible by grad_accum {K}")
+        split = {k: v.reshape((K, bsz // K) + v.shape[1:])
+                 for k, v in xs.items()}
+        carry = chunk_fn(**{k: v[0] for k, v in split.items()})
+        if K > 1:
+            def body(carry, chunk):
+                g, m = chunk_fn(**chunk)
+                cg, cm = carry
+                return (jax.tree.map(jnp.add, cg, g),
+                        jax.tree.map(jnp.add, cm, m)), None
+            carry, _ = jax.lax.scan(
+                body, carry, {k: v[1:] for k, v in split.items()})
+        inv = 1.0 / K
+        return (jax.tree.map(lambda v: v * inv, carry[0]),
+                jax.tree.map(lambda v: v * inv, carry[1]))
+
     # --- discriminator -----------------------------------------------------
 
     def _dis_step_impl(self, state, x_a, x_b, lr, extrapolate):
@@ -565,20 +609,30 @@ class MUNITTrainer:
         s_a = jax.random.normal(k1, (bsz, self.style_dim), x_a.dtype)
         s_b = jax.random.normal(k2, (bsz, self.style_dim), x_b.dtype)
 
-        # The dis step's generator forward is pure inference (the fakes are
-        # detached below, trainer.py:1178) — MUNIT_INT8_DIS=1 opts it into
-        # the dynamic-W8A8 quantized convs (core/ops.py conv_quant). OFF by
-        # default: the fakes the discriminator trains on then differ from
-        # the reference's bf16/f32 numerics by the ~1% quantization error.
-        with ops.conv_quant(self.int8_dis_fakes):
-            *_, x_ba, x_ab = self._cross_decode(state["gen"], x_a, x_b,
-                                                s_a, s_b)
-        x_ba = jax.lax.stop_gradient(x_ba)   # ≙ .detach() trainer.py:1178
-        x_ab = jax.lax.stop_gradient(x_ab)
-
         dis_params = {"a": state["dis_a"], "b": state["dis_b"]}
-        grads, metrics = jax.grad(self._dis_loss, has_aux=True)(
-            dis_params, x_ba, x_ab, x_a, x_b)
+
+        def chunk_grads(x_a, x_b, s_a, s_b):
+            # The dis step's generator forward is pure inference (the fakes
+            # are detached below, trainer.py:1178) — MUNIT_INT8_DIS=1 opts
+            # it into the dynamic-W8A8 quantized convs (core/ops.py
+            # conv_quant). OFF by default: the fakes the discriminator
+            # trains on then differ from the reference's bf16/f32 numerics
+            # by the ~1% quantization error.
+            with ops.conv_quant(self.int8_dis_fakes):
+                *_, x_ba, x_ab = self._cross_decode(state["gen"], x_a, x_b,
+                                                    s_a, s_b)
+            x_ba = jax.lax.stop_gradient(x_ba)  # ≙ .detach() trainer.py:1178
+            x_ab = jax.lax.stop_gradient(x_ab)
+            return jax.grad(self._dis_loss, has_aux=True)(
+                dis_params, x_ba, x_ab, x_a, x_b)
+
+        if self.grad_accum > 1:
+            # style codes drawn for the FULL batch above, so the sampled
+            # codes are bit-identical to grad_accum=1
+            grads, metrics = self._accum_grads(
+                chunk_grads, dict(x_a=x_a, x_b=x_b, s_a=s_a, s_b=s_b))
+        else:
+            grads, metrics = chunk_grads(x_a, x_b, s_a, s_b)
         new_params, new_opt = self._opt_update(
             grads, state["dis_opt"], dis_params, lr, extrapolate)
         state["dis_a"], state["dis_b"] = new_params["a"], new_params["b"]
@@ -786,21 +840,34 @@ class MUNITTrainer:
         s_a = jax.random.normal(k1, (bsz, self.style_dim), x_a.dtype)
         s_b = jax.random.normal(k2, (bsz, self.style_dim), x_b.dtype)
         use_cyc = hw["recon_x_cyc_w"] > 0
-        if self.semantic_w:
-            sem_tgt_a, sem_tgt_b = self._semantic_targets(
-                x_a, x_b, sem_gt_a, sem_gt_b, has_sem_gt)
 
-        if not self.semantic_w:
-            sem_tgt_a = sem_tgt_b = None
+        def chunk_grads(x_a, x_b, mask_a, mask_b, sem_gt_a, sem_gt_b,
+                        s_a, s_b):
+            if self.semantic_w:
+                # per-chunk pseudo-labels: the frozen segmenter is
+                # per-sample, so these equal the full-batch targets
+                sem_tgt_a, sem_tgt_b = self._semantic_targets(
+                    x_a, x_b, sem_gt_a, sem_gt_b, has_sem_gt)
+            else:
+                sem_tgt_a = sem_tgt_b = None
 
-        def loss_fn(gen_params):
-            fw = self._gen_forward(gen_params, x_a, x_b, s_a, s_b, use_cyc)
-            return self._gen_loss_from_fw(
-                fw, state, state["dis_a"], state["dis_b"], x_a, x_b, mask_a,
-                mask_b, s_a, s_b, sem_tgt_a, sem_tgt_b, synth, has_sem_gt,
-                use_cyc)
+            def loss_fn(gen_params):
+                fw = self._gen_forward(gen_params, x_a, x_b, s_a, s_b,
+                                       use_cyc)
+                return self._gen_loss_from_fw(
+                    fw, state, state["dis_a"], state["dis_b"], x_a, x_b,
+                    mask_a, mask_b, s_a, s_b, sem_tgt_a, sem_tgt_b, synth,
+                    has_sem_gt, use_cyc)
 
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(state["gen"])
+            return jax.grad(loss_fn, has_aux=True)(state["gen"])
+
+        if self.grad_accum > 1:
+            grads, metrics = self._accum_grads(chunk_grads, dict(
+                x_a=x_a, x_b=x_b, mask_a=mask_a, mask_b=mask_b,
+                sem_gt_a=sem_gt_a, sem_gt_b=sem_gt_b, s_a=s_a, s_b=s_b))
+        else:
+            grads, metrics = chunk_grads(x_a, x_b, mask_a, mask_b, sem_gt_a,
+                                         sem_gt_b, s_a, s_b)
         new_gen, new_opt = self._opt_update(
             grads, state["gen_opt"], state["gen"], lr, extrapolate)
         state["gen"] = new_gen
