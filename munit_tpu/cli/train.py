@@ -87,10 +87,11 @@ def main(argv=None):
     p.add_argument("--config", required=True)
     p.add_argument("--output_path", default=".")
     p.add_argument("--resume", action="store_true")
-    p.add_argument("--trainer", default="MUNIT", choices=["MUNIT", "UNIT"],
-                   help="reference train.py:45 flag; like the reference "
-                        "(train.py:69-72), only MUNIT training is supported "
-                        "— UNIT generators are inference-only "
+    p.add_argument("--trainer", default="MUNIT",
+                   help="reference train.py:45 flag; accepts any string but, "
+                        "like the reference (train.py:69-72), every "
+                        "non-MUNIT value exits 'Only support MUNIT' — UNIT "
+                        "generators are inference-only "
                         "(translate_batch --trainer UNIT)")
     p.add_argument("--mesh", action="store_true",
                    help="data-parallel over all devices")
@@ -201,6 +202,27 @@ def main(argv=None):
             jax.random.PRNGKey(1),
             jnp.zeros((1, conf["crop_image_height"],
                        conf["crop_image_height"], 3))))
+    if conf["vgg_w"] > 0:
+        # Perceptual loss (reference's load_vgg16 was dead, utils.py:911-914;
+        # live here): vgg_model_path points at a torchvision VGG16 state
+        # dict (docs/REAL_WEIGHTS.md).
+        vgg_path = conf.get("vgg_model_path")
+        if vgg_path and os.path.exists(str(vgg_path)):
+            from munit_tpu.nn.vgg import convert_vgg16_state_dict
+            import torch
+            sd = {k: v.numpy() for k, v in torch.load(
+                str(vgg_path), map_location="cpu",
+                weights_only=True).items()}
+            trainer.load_vgg(jax.tree.map(
+                jnp.asarray, convert_vgg16_state_dict(sd)))
+        else:
+            from munit_tpu.nn.vgg import Vgg16
+            print("WARNING: vgg_model_path missing — using random VGG16 "
+                  "weights for the perceptual loss")
+            trainer.load_vgg(Vgg16().init(
+                jax.random.PRNGKey(2),
+                jnp.zeros((1, conf["crop_image_height"],
+                           conf["crop_image_height"], 3)))["params"])
 
     mesh = None
     if opts.mesh or opts.spatial > 1:

@@ -279,16 +279,38 @@ class MUNITTrainer:
         # extension): the dis/gen steps average gradients over K sequential
         # micro-batches of batch_size/K (lax.scan — one micro-batch of
         # activation residuals live at a time), trading compute for HBM to
-        # fit large effective batches on one chip. Exact for every shipped
-        # loss term (all are full-count means, so the mean of equal-chunk
-        # means IS the full-batch value); batch-stat aux losses
-        # (domain_adv_w's train-mode BN) see per-chunk statistics instead.
+        # fit large effective batches on one chip. Exact for every
+        # full-count-mean loss term (the mean of equal-chunk means IS the
+        # full-batch value) — which is every shipped term EXCEPT the
+        # BatchNorm-classifier ones: `adaptation.adv_lambda > 0` (shipped in
+        # config_256/config_HD/FeatureDA*) and `domain_adv_w > 0` run the
+        # DomainClassifier with train-mode BN (current-batch statistics), so
+        # each micro-batch normalizes with its own chunk stats and those
+        # gradients deviate from grad_accum=1 (warned below; docs/PARITY.md).
         # Forces the unfused two-step path: the fused step's shared-vjp
         # whole-batch forward is exactly the memory shape K>1 avoids.
         self.grad_accum = int(_os.environ.get(
             "MUNIT_GRAD_ACCUM", str(conf.get("grad_accum", 1))))
+        # Env-derived values bypass config.validate(): re-check here with the
+        # same messages so MUNIT_GRAD_ACCUM fails fast, not at trace time.
+        if self.grad_accum < 1:
+            raise ValueError(
+                f"grad_accum must be a positive int, got {self.grad_accum!r}")
+        if conf["batch_size"] % self.grad_accum:
+            raise ValueError(
+                f"batch_size ({conf['batch_size']}) must be divisible by "
+                f"grad_accum ({self.grad_accum})")
         if self.grad_accum > 1:
             self.fused = False
+            if ad["adv_lambda"] > 0 or conf["domain_adv_w"] > 0:
+                import warnings
+                warnings.warn(
+                    "grad_accum > 1 with a train-mode BatchNorm classifier "
+                    "loss (adaptation.adv_lambda > 0 or domain_adv_w > 0): "
+                    "each micro-batch normalizes with its own chunk "
+                    "statistics, so these gradients deviate from "
+                    "grad_accum=1 (all other shipped terms stay exact). "
+                    "See docs/PARITY.md.", stacklevel=2)
         # Opt-in: int8 generator forward in the dis-only steps (the fakes
         # are detached there; see _dis_step_impl). Deviates from reference
         # numerics — never the default, never set by any shipped config.
@@ -1162,7 +1184,20 @@ class MUNITTrainer:
     def dis_gen_update(self, x_a, x_b, mask_a=None, mask_b=None,
                        synth=False, sem_gt_a=None, sem_gt_b=None):
         """Fused dis_update + gen_update (one shared generator forward,
-        reference-ordered). Returns merged metrics of both updates."""
+        reference-ordered). Returns merged metrics of both updates.
+
+        Does NOT accumulate gradients: with ``grad_accum > 1`` the shipped
+        loop takes the unfused dis_update/gen_update pair instead (this
+        step's shared-vjp whole-batch forward is exactly the memory shape
+        accumulation avoids). A direct caller gets a warning and full-batch
+        memory behavior."""
+        if self.grad_accum > 1:
+            import warnings
+            warnings.warn(
+                "dis_gen_update ignores grad_accum: the fused step always "
+                "runs the whole batch in one forward. Use the unfused "
+                "dis_update/gen_update pair (what the shipped loop does "
+                "when grad_accum > 1) to actually accumulate.", stacklevel=2)
         lr = self._lr()
         z_img = jnp.zeros_like(x_a[..., :1])
         z_sem = jnp.zeros(x_a.shape[:3], jnp.int32)

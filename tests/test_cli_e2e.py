@@ -166,9 +166,11 @@ def test_translate_cli_accepts_reference_noop_flags(tmp_path, tiny_config):
 
 
 def test_train_cli_trainer_flag(tiny_config):
-    """`train --trainer UNIT` exits with the reference's exact message
-    (train.py:69-72); --trainer MUNIT is the accepted default."""
+    """`train --trainer <anything non-MUNIT>` exits with the reference's
+    exact message (train.py:69-72 accepts any string and gates on equality —
+    no argparse choices, so e.g. UNIT_Trainer behaves identically)."""
     conf_path, _ = tiny_config
     from munit_tpu.cli.train import main
-    with pytest.raises(SystemExit, match="Only support MUNIT"):
-        main(["--config", conf_path, "--trainer", "UNIT"])
+    for name in ("UNIT", "UNIT_Trainer"):
+        with pytest.raises(SystemExit, match="Only support MUNIT"):
+            main(["--config", conf_path, "--trainer", name])

@@ -113,3 +113,65 @@ def test_grad_accum_validation():
         validate({"batch_size": 3, "grad_accum": 2})
     with pytest.raises(ValueError, match="positive"):
         validate({"batch_size": 4, "grad_accum": 0})
+
+
+def test_grad_accum_env_override_validated(monkeypatch):
+    """MUNIT_GRAD_ACCUM bypasses config.validate(); the trainer re-checks it
+    with the same messages instead of silently ignoring <1 or failing at
+    trace time on non-divisible values (ADVICE r3)."""
+    monkeypatch.setenv("MUNIT_GRAD_ACCUM", "0")
+    with pytest.raises(ValueError, match="positive"):
+        make_trainer(tiny_conf(1))
+    monkeypatch.setenv("MUNIT_GRAD_ACCUM", "3")  # batch_size 4 not divisible
+    with pytest.raises(ValueError, match="divisible"):
+        make_trainer(tiny_conf(1))
+
+
+def adv_conf(grad_accum):
+    c = tiny_conf(grad_accum)
+    c["adaptation"]["adv_lambda"] = 6
+    c["adaptation"]["dfeat_lambda"] = 1
+    return validate(c)
+
+
+def test_grad_accum_adv_lambda_warns_and_runs():
+    """adv_lambda>0 runs the sim/real DomainClassifier with train-mode BN:
+    with grad_accum>1 each micro-batch normalizes with its own chunk stats,
+    so those gradients deviate from grad_accum=1 (docs/PARITY.md #12). The
+    trainer warns at construction; everything else still runs and every
+    non-BN term stays chunk-mean-exact at it=0 (identical initial params)."""
+    with pytest.warns(UserWarning, match="train-mode BatchNorm"):
+        t2 = make_trainer(adv_conf(2))
+    assert not t2.fused
+
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")   # no warning for grad_accum=1
+        t1 = make_trainer(adv_conf(1))
+    t1.fused = False
+
+    rng = np.random.RandomState(3)
+    x_a = jnp.asarray(rng.randn(4, CROP, CROP, 3).astype(np.float32) * 0.3)
+    x_b = jnp.asarray(rng.randn(4, CROP, CROP, 3).astype(np.float32) * 0.3)
+    m_a = jnp.asarray((rng.rand(4, CROP, CROP, 1) > 0.5).astype(np.float32))
+    m_b = jnp.asarray((rng.rand(4, CROP, CROP, 1) > 0.5).astype(np.float32))
+    t1.iterations = t2.iterations = 0
+    m1 = t1.gen_update(x_a, x_b, m_a, m_b)
+    m2 = t2.gen_update(x_a, x_b, m_a, m_b)
+    # the BN-classifier fool term itself deviates (per-chunk statistics)...
+    assert np.isfinite(float(m2["loss_classifier_adv_sr"]))
+    # ...while full-count-mean terms remain exact up to reassociation
+    for k in ("loss_gen_recon_x_a", "loss_gen_cycrecon_x_a",
+              "loss_gen_adv_a"):
+        np.testing.assert_allclose(float(m2[k]), float(m1[k]),
+                                   rtol=2e-5, atol=1e-6, err_msg=k)
+
+
+def test_dis_gen_update_warns_with_grad_accum():
+    """The fused step never accumulates (docs/API.md): a direct caller with
+    grad_accum>1 gets a warning, not silent full-batch memory behavior."""
+    t2 = make_trainer(tiny_conf(2))
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(4, CROP, CROP, 3).astype(np.float32) * 0.3)
+    with pytest.warns(UserWarning, match="ignores grad_accum"):
+        t2.dis_gen_update(x, x)
