@@ -232,6 +232,9 @@ def main(argv=None):
         check_spatial_extent(mesh, conf["crop_image_height"],
                              conf["gen"]["n_downsample"])
         trainer.state = replicate_state(mesh, trainer.state)
+        # frozen nets are jit ARGUMENTS (not baked constants) — replicate
+        # them onto the mesh alongside the state
+        trainer.frozen = replicate_state(mesh, trainer.frozen)
 
     start = 0
     if opts.resume:

@@ -386,13 +386,19 @@ class MUNITTrainer:
         return state
 
     def load_segmenter(self, variables: Dict[str, Any]):
-        """Attach frozen Cityscapes segmenter variables ({params, batch_stats})."""
-        self.frozen["seg"] = variables
+        """Attach frozen Cityscapes segmenter variables ({params, batch_stats}).
+
+        The tree is device_put once here; it is then passed into every
+        jitted step as a non-donated ARGUMENT (never closed over — closure
+        would bake ~170 MB of weights into the traced graph as constants,
+        the r3 compile-time regression). Under a mesh, re-place it with
+        ``replicate_state(mesh, trainer.frozen)`` alongside the state."""
+        self.frozen["seg"] = jax.tree.map(jnp.asarray, variables)
 
     def load_vgg(self, params: Dict[str, Any]):
         """Attach frozen VGG16 params for the perceptual loss (vgg_w > 0).
         The reference's loader was dead (utils.py:911-914); this path is live."""
-        self.frozen["vgg"] = params
+        self.frozen["vgg"] = jax.tree.map(jnp.asarray, params)
 
     # ------------------------------------------------------------ optimizer
 
@@ -529,19 +535,29 @@ class MUNITTrainer:
             mutable=["batch_stats"])
         return out, updates["batch_stats"]
 
-    def _segment(self, img_pm1):
+    def _segment(self, img_pm1, frozen=None):
         """Frozen segmenter logits (B,H,W,19) from a [-1,1] image.
+
+        ``frozen`` is the frozen-net pytree threaded through the jitted step
+        as a real (non-donated) ARGUMENT — closing over ``self.frozen``
+        instead bakes the ~170 MB of ResNet34 weights into the traced graph
+        as StableHLO constants, which ballooned the fused step to 174 MB of
+        IR / 338 MB of serialized executable and dominated both trace
+        (~155 s) and compile (~233 s) wall time. Eager callers (sample
+        overlays) may omit it.
+
         By default the backward through the semantic loss stores the frozen
         ResNet34's activations (fits at 256²/batch 8 since the bf16/pad-
         residual fixes; +1.7% measured, BENCH.md). MUNIT_SEG_REMAT=1
         rematerializes instead — recompute the forward in the backward for a
         large HBM saving — for HD crops or bigger batches."""
-        def run(img):
-            return self.seg_model_def.apply(self.frozen["seg"],
-                                            seg_preprocess(img))
+        seg_vars = (frozen if frozen is not None else self.frozen)["seg"]
+
+        def run(seg_vars, img):
+            return self.seg_model_def.apply(seg_vars, seg_preprocess(img))
         if _os.environ.get("MUNIT_SEG_REMAT", "0") == "1":
             run = jax.checkpoint(run)
-        return run(img_pm1)
+        return run(seg_vars, img_pm1)
 
     # -------------------------------------------------------------- steps
 
@@ -664,7 +680,8 @@ class MUNITTrainer:
 
     # --- generator ---------------------------------------------------------
 
-    def _semantic_targets(self, x_a, x_b, sem_gt_a, sem_gt_b, has_sem_gt):
+    def _semantic_targets(self, x_a, x_b, sem_gt_a, sem_gt_b, has_sem_gt,
+                          frozen=None):
         """Pseudo-label targets from the FROZEN segmenter on the source
         images (trainer.py:741). No gradient flows through them, so they are
         computed OUTSIDE the differentiated closure — halves segmenter work
@@ -673,12 +690,12 @@ class MUNITTrainer:
             return sem_gt_a.astype(jnp.int32), sem_gt_b.astype(jnp.int32)
         if self.wide >= 1:
             bsz = x_a.shape[0]
-            t = jnp.argmax(self._segment(jnp.concatenate([x_a, x_b])),
-                           axis=-1)
+            t = jnp.argmax(self._segment(jnp.concatenate([x_a, x_b]),
+                                         frozen), axis=-1)
             t_a, t_b = t[:bsz], t[bsz:]
         else:
-            t_a = jnp.argmax(self._segment(x_a), axis=-1)
-            t_b = jnp.argmax(self._segment(x_b), axis=-1)
+            t_a = jnp.argmax(self._segment(x_a, frozen), axis=-1)
+            t_b = jnp.argmax(self._segment(x_b, frozen), axis=-1)
         return jax.lax.stop_gradient(t_a), jax.lax.stop_gradient(t_b)
 
     def _sem_loss_from_logits(self, logits, target, mask, has_sem_gt):
@@ -692,23 +709,24 @@ class MUNITTrainer:
             return losses.semantic_seg_loss_masked(logits, target, m, n_cls)
         return losses.cross_entropy_loss(logits, target)
 
-    def _semantic_loss(self, img_tr, target, mask, has_sem_gt):
+    def _semantic_loss(self, img_tr, target, mask, has_sem_gt, frozen=None):
         """compute_semantic_seg_loss (trainer.py:706-771). NHWC logits;
         gradient flows through the translated image only."""
-        return self._sem_loss_from_logits(self._segment(img_tr), target,
-                                          mask, has_sem_gt)
+        return self._sem_loss_from_logits(self._segment(img_tr, frozen),
+                                          target, mask, has_sem_gt)
 
-    def _semantic_loss_pair(self, img1, t1, m1, img2, t2, m2, has_sem_gt):
+    def _semantic_loss_pair(self, img1, t1, m1, img2, t2, m2, has_sem_gt,
+                            frozen=None):
         """Both translated images through ONE frozen-segmenter pass."""
         if self.wide >= 1:
             bsz = img1.shape[0]
-            logits = self._segment(jnp.concatenate([img1, img2]))
+            logits = self._segment(jnp.concatenate([img1, img2]), frozen)
             return (self._sem_loss_from_logits(logits[:bsz], t1, m1,
                                                has_sem_gt)
                     + self._sem_loss_from_logits(logits[bsz:], t2, m2,
                                                  has_sem_gt))
-        return (self._semantic_loss(img1, t1, m1, has_sem_gt)
-                + self._semantic_loss(img2, t2, m2, has_sem_gt))
+        return (self._semantic_loss(img1, t1, m1, has_sem_gt, frozen)
+                + self._semantic_loss(img2, t2, m2, has_sem_gt, frozen))
 
     def _dis_loss(self, dis_params, x_ba, x_ab, x_a, x_b):
         """calc_dis_loss over both discriminators (trainer.py:1133-1190)."""
@@ -740,8 +758,8 @@ class MUNITTrainer:
         return total, {"loss_dis_a": la, "loss_dis_b": lb,
                        "loss_dis_total": total}
 
-    def _dis_gen_step_impl(self, state, x_a, x_b, mask_a, mask_b, sem_gt_a,
-                           sem_gt_b, lr, extrapolate, synth: bool,
+    def _dis_gen_step_impl(self, state, frozen, x_a, x_b, mask_a, mask_b,
+                           sem_gt_a, sem_gt_b, lr, extrapolate, synth: bool,
                            has_sem_gt: bool):
         """Fused dis_update + gen_update at one iteration, sharing ONE
         generator forward: at a given iteration the two reference steps run
@@ -764,7 +782,7 @@ class MUNITTrainer:
         sem_tgt_a = sem_tgt_b = None
         if self.semantic_w:
             sem_tgt_a, sem_tgt_b = self._semantic_targets(
-                x_a, x_b, sem_gt_a, sem_gt_b, has_sem_gt)
+                x_a, x_b, sem_gt_a, sem_gt_b, has_sem_gt, frozen)
 
         fw, pullback = jax.vjp(
             lambda p: self._gen_forward(p, x_a, x_b, s_a_g, s_b_g, use_cyc),
@@ -792,7 +810,7 @@ class MUNITTrainer:
             return self._gen_loss_from_fw(
                 fw_, state, new_dis["a"], new_dis["b"], x_a, x_b, mask_a,
                 mask_b, s_a_g, s_b_g, sem_tgt_a, sem_tgt_b, synth,
-                has_sem_gt, use_cyc)
+                has_sem_gt, use_cyc, frozen)
 
         fw_bar, m_gen = jax.grad(gen_loss, has_aux=True)(fw)
         (gen_grads,) = pullback(fw_bar)
@@ -821,7 +839,7 @@ class MUNITTrainer:
         mask_b = mask_b if mask_b is not None else z_img
         use_cyc = self.hw["recon_x_cyc_w"] > 0
 
-        def run(state, x_a, x_b, mask_a, mask_b):
+        def run(state, frozen, x_a, x_b, mask_a, mask_b):
             bsz = x_a.shape[0]
             rng_mid, _, _ = jax.random.split(state["rng"], 3)
             _, g1, g2 = jax.random.split(rng_mid, 3)
@@ -831,7 +849,7 @@ class MUNITTrainer:
             if self.semantic_w:
                 z_sem = jnp.zeros(x_a.shape[:3], jnp.int32)
                 sem_tgt_a, sem_tgt_b = self._semantic_targets(
-                    x_a, x_b, z_sem, z_sem, False)
+                    x_a, x_b, z_sem, z_sem, False, frozen)
             fw, pullback = jax.vjp(
                 lambda p: self._gen_forward(p, x_a, x_b, s_a_g, s_b_g,
                                             use_cyc), state["gen"])
@@ -844,16 +862,17 @@ class MUNITTrainer:
                 return self._gen_loss_from_fw(
                     fw_, state, dis_params["a"], dis_params["b"], x_a, x_b,
                     mask_a, mask_b, s_a_g, s_b_g, sem_tgt_a, sem_tgt_b,
-                    False, False, use_cyc)
+                    False, False, use_cyc, frozen)
 
             fw_bar, _ = jax.grad(gen_loss, has_aux=True)(fw)
             (gen_grads,) = pullback(fw_bar)
             return grads_d, gen_grads
 
-        return jax.jit(run)(self.state, x_a, x_b, mask_a, mask_b)
+        return jax.jit(run)(self.state, self.frozen, x_a, x_b, mask_a,
+                            mask_b)
 
-    def _gen_step_impl(self, state, x_a, x_b, mask_a, mask_b, sem_gt_a,
-                       sem_gt_b, lr, extrapolate, synth: bool,
+    def _gen_step_impl(self, state, frozen, x_a, x_b, mask_a, mask_b,
+                       sem_gt_a, sem_gt_b, lr, extrapolate, synth: bool,
                        has_sem_gt: bool):
         conf = self.conf
         hw = self.hw
@@ -869,7 +888,7 @@ class MUNITTrainer:
                 # per-chunk pseudo-labels: the frozen segmenter is
                 # per-sample, so these equal the full-batch targets
                 sem_tgt_a, sem_tgt_b = self._semantic_targets(
-                    x_a, x_b, sem_gt_a, sem_gt_b, has_sem_gt)
+                    x_a, x_b, sem_gt_a, sem_gt_b, has_sem_gt, frozen)
             else:
                 sem_tgt_a = sem_tgt_b = None
 
@@ -879,7 +898,7 @@ class MUNITTrainer:
                 return self._gen_loss_from_fw(
                     fw, state, state["dis_a"], state["dis_b"], x_a, x_b,
                     mask_a, mask_b, s_a, s_b, sem_tgt_a, sem_tgt_b, synth,
-                    has_sem_gt, use_cyc)
+                    has_sem_gt, use_cyc, frozen)
 
             return jax.grad(loss_fn, has_aux=True)(state["gen"])
 
@@ -899,7 +918,8 @@ class MUNITTrainer:
 
     def _gen_loss_from_fw(self, fw, state, dis_a, dis_b, x_a, x_b, mask_a,
                           mask_b, s_a, s_b, sem_tgt_a, sem_tgt_b,
-                          synth: bool, has_sem_gt: bool, use_cyc: bool):
+                          synth: bool, has_sem_gt: bool, use_cyc: bool,
+                          frozen=None):
         """gen_update loss assembly (reference trainer.py:336-616) over a
         precomputed generator forward ``fw``. Discriminator params are passed
         explicitly so the fused dis+gen step can evaluate the adversarial
@@ -966,8 +986,10 @@ class MUNITTrainer:
         if hw["vgg_w"] > 0:
             from munit_tpu.nn.vgg import Vgg16, vgg_preprocess
             vgg = Vgg16()
+            vgg_params = (frozen if frozen is not None
+                          else self.frozen)["vgg"]
             feats = lambda img: vgg.apply(
-                {"params": self.frozen["vgg"]}, vgg_preprocess(img))
+                {"params": vgg_params}, vgg_preprocess(img))
             m["loss_gen_vgg_a"] = losses.vgg_perceptual_loss(
                 feats(x_ba), feats(x_b))
             m["loss_gen_vgg_b"] = losses.vgg_perceptual_loss(
@@ -979,7 +1001,7 @@ class MUNITTrainer:
         if self.semantic_w:
             m["loss_sem_seg"] = self._semantic_loss_pair(
                 x_ab, sem_tgt_a, mask_a, x_ba, sem_tgt_b, mask_b,
-                has_sem_gt)
+                has_sem_gt, frozen)
         else:
             m["loss_sem_seg"] = jnp.zeros(())
 
@@ -1172,7 +1194,7 @@ class MUNITTrainer:
         z_sem = jnp.zeros(x_a.shape[:3], jnp.int32)
         has_gt = sem_gt_a is not None
         self.state, metrics = self._gen_step(
-            self.state, x_a, x_b,
+            self.state, self.frozen, x_a, x_b,
             mask_a if mask_a is not None else z_img,
             mask_b if mask_b is not None else z_img,
             sem_gt_a if has_gt else z_sem,
@@ -1203,7 +1225,7 @@ class MUNITTrainer:
         z_sem = jnp.zeros(x_a.shape[:3], jnp.int32)
         has_gt = sem_gt_a is not None
         self.state, metrics = self._dis_gen_step(
-            self.state, x_a, x_b,
+            self.state, self.frozen, x_a, x_b,
             mask_a if mask_a is not None else z_img,
             mask_b if mask_b is not None else z_img,
             sem_gt_a if has_gt else z_sem,

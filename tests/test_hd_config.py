@@ -51,7 +51,8 @@ def test_config_hd_graph_builds_at_512(hd_conf):
     import functools
     gen_step = functools.partial(tr._gen_step_impl, synth=False,
                                  has_sem_gt=False)  # static under jit too
-    out = jax.eval_shape(gen_step, tr.state, x, x, m, m, None, None, lr, ex)
+    out = jax.eval_shape(gen_step, tr.state, tr.frozen, x, x, m, m, None,
+                         None, lr, ex)
     assert out[1]["loss_gen_total"].shape == ()
 
 

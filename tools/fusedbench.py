@@ -79,7 +79,7 @@ def main():
 
     # 1. semantic targets
     sem_fn = jax.jit(lambda xa, xb: tr._semantic_targets(
-        xa, xb, None, None, False))
+        xa, xb, None, None, False, tr.frozen))
     timeit("semantic targets (seg fwd, 2B)", lambda: sem_fn(x_a, x_b))
 
     # 2. gen forward
@@ -103,7 +103,7 @@ def main():
     def loss_of_fw(fw):
         loss, m = tr._gen_loss_from_fw(
             fw, state, state["dis_a"], state["dis_b"], x_a, x_b, mask, mask,
-            s_a, s_b, sem_t[0], sem_t[1], False, False, True)
+            s_a, s_b, sem_t[0], sem_t[1], False, False, True, tr.frozen)
         return loss
     loss_fn = jax.jit(loss_of_fw)
     timeit("gen loss assembly (fwd only)", lambda: loss_fn(fw0))

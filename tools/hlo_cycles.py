@@ -74,7 +74,7 @@ def main():
         "dis_step": lambda: tr._dis_step.lower(
             tr.state, xa, xb, lr, True),
         "fused_dis_gen": lambda: tr._dis_gen_step.lower(
-            tr.state, xa, xb, ma, ma, zs, zs, lr, True,
+            tr.state, tr.frozen, xa, xb, ma, ma, zs, zs, lr, True,
             synth=False, has_sem_gt=True),
     }
     for label, lower in lowers.items():

@@ -126,7 +126,7 @@ def main():
     if "seg" in pieces:
         @jax.jit
         def seg(xa):
-            return jnp.sum(tr._segment(xa).astype(jnp.float32))
+            return jnp.sum(tr._segment(xa, tr.frozen).astype(jnp.float32))
         results["seg"] = timeit(
             "segmenter fwd", lambda: seg(x_a), lambda: float(seg(x_a)))
 
