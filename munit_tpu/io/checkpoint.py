@@ -84,6 +84,11 @@ class CheckpointWriter:
         self._mgr.wait_until_finished()
 
     def close(self):
+        """Drain pending writes and release the manager. Idempotent — crash
+        paths may drain defensively before the normal-exit close runs."""
+        if getattr(self, "_closed", False):
+            return
+        self._closed = True
         self._mgr.wait_until_finished()
         self._mgr.close()
 

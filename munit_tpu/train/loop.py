@@ -40,6 +40,21 @@ class TrainingDiverged(RuntimeError):
     later step is garbage; stop instead of silently training on."""
 
 
+def trainer_device_memory_stats() -> Optional[dict]:
+    """{hbm_gb_in_use, hbm_gb_peak} for device 0, or None when the backend
+    exposes no memory_stats (CPU) or the query fails (tunnel hiccup)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+    except Exception:
+        return None
+    if not stats or "bytes_in_use" not in stats:
+        return None
+    out = {"hbm_gb_in_use": stats["bytes_in_use"] / 2**30}
+    if "peak_bytes_in_use" in stats:
+        out["hbm_gb_peak"] = stats["peak_bytes_in_use"] / 2**30
+    return out
+
+
 def _check_finite(metrics, step):
     """Divergence guard at the metric flush (zero extra device work — the
     scalars were just materialized for logging). The reference trains
@@ -135,149 +150,172 @@ def train_loop(trainer, conf, loaders, output_directory: str,
                 ckpt_writer.close()
             raise
         pending.clear()
-    while iterations < max_iter:
-        if profile is not None:
-            if iterations == profile[0] and not profiling:
-                from munit_tpu.utils.profiling import start_trace
-                start_trace(os.path.join(output_directory, "trace"))
-                profiling = True
-            elif profiling and iterations >= profile[0] + profile[1]:
-                from munit_tpu.utils.profiling import stop_trace
-                stop_trace()
-                profiling = False
-        ba = maybe_shard(next(it_a))
-        bb = maybe_shard(next(it_b))
-        bs = maybe_shard(next(it_s)) if it_s else None
-        trainer.iterations = iterations
-        with Timer(enabled=time_steps):
-            trainer.update_learning_rate()
-            x_a, mask_a = _dev(ba, "image"), _dev(ba, "mask")
-            x_b, mask_b = _dev(bb, "image"), _dev(bb, "mask")
+    try:
+        while iterations < max_iter:
+            if profile is not None:
+                if iterations == profile[0] and not profiling:
+                    from munit_tpu.utils.profiling import start_trace
+                    start_trace(os.path.join(output_directory, "trace"))
+                    profiling = True
+                elif profiling and iterations >= profile[0] + profile[1]:
+                    from munit_tpu.utils.profiling import stop_trace
+                    stop_trace()
+                    profiling = False
+            ba = maybe_shard(next(it_a))
+            bb = maybe_shard(next(it_b))
+            bs = maybe_shard(next(it_s)) if it_s else None
+            trainer.iterations = iterations
+            with Timer(enabled=time_steps):
+                trainer.update_learning_rate()
+                x_a, mask_a = _dev(ba, "image"), _dev(ba, "mask")
+                x_b, mask_b = _dev(bb, "image"), _dev(bb, "mask")
 
-            gen_iter = (iterations + 1) % conf["ratio_disc_gen"] == 0
-            if gen_iter and getattr(trainer, "fused", False):
-                metrics = dict(trainer.dis_gen_update(x_a, x_b,
-                                                      mask_a, mask_b))
-            else:
-                metrics = dict(trainer.dis_update(x_a, x_b))
-                if gen_iter:
-                    metrics.update(trainer.gen_update(x_a, x_b,
-                                                      mask_a, mask_b))
-            if conf["domain_adv_w"] > 0:
-                metrics.update(trainer.domain_classifier_update(x_a, x_b))
-            if trainer.use_classifier_sr and \
-                    (iterations + 1) % ad["classif_frequency"] == 0:
-                metrics.update(trainer.domain_classifier_sr_update(
-                    x_a, x_b, domain_synth=False,
-                    lamb=ad["dfeat_lambda"]))
-            if bs is not None and trainer.use_output_classifier_sr and \
-                    (iterations + 1) % ad["output_classif_freq"] == 0:
-                metrics.update(trainer.output_domain_classifier_sr_update(
-                    x_a, _dev(bs, "image_a"), x_b, _dev(bs, "image_b")))
+                gen_iter = (iterations + 1) % conf["ratio_disc_gen"] == 0
+                if gen_iter and getattr(trainer, "fused", False):
+                    metrics = dict(trainer.dis_gen_update(x_a, x_b,
+                                                          mask_a, mask_b))
+                else:
+                    metrics = dict(trainer.dis_update(x_a, x_b))
+                    if gen_iter:
+                        metrics.update(trainer.gen_update(x_a, x_b,
+                                                          mask_a, mask_b))
+                if conf["domain_adv_w"] > 0:
+                    metrics.update(trainer.domain_classifier_update(x_a, x_b))
+                if trainer.use_classifier_sr and \
+                        (iterations + 1) % ad["classif_frequency"] == 0:
+                    metrics.update(trainer.domain_classifier_sr_update(
+                        x_a, x_b, domain_synth=False,
+                        lamb=ad["dfeat_lambda"]))
+                if bs is not None and trainer.use_output_classifier_sr and \
+                        (iterations + 1) % ad["output_classif_freq"] == 0:
+                    metrics.update(trainer.output_domain_classifier_sr_update(
+                        x_a, _dev(bs, "image_a"), x_b, _dev(bs, "image_b")))
 
-            if bs is not None and conf["synthetic_frequency"] > 0:
-                x_as, x_bs = _dev(bs, "image_a"), _dev(bs, "image_b")
-                mask_s = _dev(bs, "mask")
-                sem_a, sem_b = _dev(bs, "sem_a"), _dev(bs, "sem_b")
-                if iterations % conf["synthetic_frequency"] == 0:
-                    gt = (None, None) if conf.get("synthetic_seg_gt", 0) == 0 \
-                        else (sem_a, sem_b)
-                    if getattr(trainer, "fused", False):
-                        metrics.update(trainer.dis_gen_update(
-                            x_as, x_bs, mask_s, mask_s, synth=True,
-                            sem_gt_a=gt[0], sem_gt_b=gt[1]))
-                    else:
-                        metrics.update(trainer.dis_update(x_as, x_bs))
-                        metrics.update(trainer.gen_update(
-                            x_as, x_bs, mask_s, mask_s, synth=True,
-                            sem_gt_a=gt[0], sem_gt_b=gt[1]))
-                    if trainer.use_classifier_sr and \
-                            (iterations + 1) % ad["classif_frequency"] == 0:
-                        metrics.update(trainer.domain_classifier_sr_update(
-                            x_as, x_bs, domain_synth=True,
-                            lamb=ad["dfeat_lambda"]))
-                if trainer.train_seg:
-                    metrics.update(trainer.segmentation_head_update(
-                        x_as, x_bs, sem_a, sem_b))
+                if bs is not None and conf["synthetic_frequency"] > 0:
+                    x_as, x_bs = _dev(bs, "image_a"), _dev(bs, "image_b")
+                    mask_s = _dev(bs, "mask")
+                    sem_a, sem_b = _dev(bs, "sem_a"), _dev(bs, "sem_b")
+                    if iterations % conf["synthetic_frequency"] == 0:
+                        gt = (None, None) if conf.get("synthetic_seg_gt", 0) == 0 \
+                            else (sem_a, sem_b)
+                        if getattr(trainer, "fused", False):
+                            metrics.update(trainer.dis_gen_update(
+                                x_as, x_bs, mask_s, mask_s, synth=True,
+                                sem_gt_a=gt[0], sem_gt_b=gt[1]))
+                        else:
+                            metrics.update(trainer.dis_update(x_as, x_bs))
+                            metrics.update(trainer.gen_update(
+                                x_as, x_bs, mask_s, mask_s, synth=True,
+                                sem_gt_a=gt[0], sem_gt_b=gt[1]))
+                        if trainer.use_classifier_sr and \
+                                (iterations + 1) % ad["classif_frequency"] == 0:
+                            metrics.update(trainer.domain_classifier_sr_update(
+                                x_as, x_bs, domain_synth=True,
+                                lamb=ad["dfeat_lambda"]))
+                    if trainer.train_seg:
+                        metrics.update(trainer.segmentation_head_update(
+                            x_as, x_bs, sem_a, sem_b))
 
-            if time_steps:
-                jax.block_until_ready(trainer.state["gen"])
+                if time_steps:
+                    jax.block_until_ready(trainer.state["gen"])
 
-        tput_imgs += int(x_a.shape[0])
-        if (iterations + 1) % conf["log_iter"] == 0:
-            # buffer device scalars; materialize in batches so logging never
-            # forces a per-iteration device sync (the reference synced every
-            # step, train.py:225)
-            pending.append((iterations + 1, metrics))
-            if len(pending) >= flush_every:
+            tput_imgs += int(x_a.shape[0])
+            if (iterations + 1) % conf["log_iter"] == 0:
+                # buffer device scalars; materialize in batches so logging never
+                # forces a per-iteration device sync (the reference synced every
+                # step, train.py:225)
+                pending.append((iterations + 1, metrics))
+                if len(pending) >= flush_every:
+                    _flush_pending()
+                    # host-side throughput over the flushed window (includes
+                    # compile time in the first window — observability, not a
+                    # benchmark; bench.py owns the measured number)
+                    dt = _time.monotonic() - tput_t0
+                    if dt > 0:
+                        logger.log_metrics(
+                            {"images_per_sec": tput_imgs / dt}, iterations + 1)
+                    tput_t0, tput_imgs = _time.monotonic(), 0
+                    # HBM high-water observability (None on backends without
+                    # memory_stats — e.g. CPU tests): peak_bytes_in_use tracks
+                    # the whole process, so the max over the run is the train
+                    # step + prefetch footprint.
+                    stats = trainer_device_memory_stats()
+                    if stats:
+                        logger.log_metrics(stats, iterations + 1)
+
+            if display_batches is not None:
+                tr_a, tr_b, te_a, te_b = display_batches
+                if (iterations + 1) % conf["image_save_iter"] == 0:
+                    # sample() is a global computation (replicated params):
+                    # ALL processes dispatch it; only the lead writes files
+                    test_grid = trainer.sample(te_a, te_b)
+                    train_grid = trainer.sample(tr_a, tr_b)
+                    if lead:
+                        write_2images(test_grid, display, img_dir,
+                                      "test_%08d" % (iterations + 1), logger)
+                        write_2images(train_grid, display, img_dir,
+                                      "train_%08d" % (iterations + 1), logger)
+                        from munit_tpu.utils.html import write_html
+                        write_html(os.path.join(output_directory, "index.html"),
+                                   iterations + 1, conf["image_save_iter"],
+                                   img_dir)
+                if (iterations + 1) % conf["image_display_iter"] == 0:
+                    cur_grid = trainer.sample(tr_a, tr_b)
+                    if lead:
+                        write_2images(cur_grid, display, img_dir,
+                                      "train_current", logger)
+
+            if (iterations + 1) % conf["snapshot_save_iter"] == 0:
+                # async: the D2H snapshot happens before save() returns; the
+                # disk write overlaps subsequent train steps (MUNIT_ASYNC_CKPT=0
+                # restores the blocking write)
+                # divergence-check the buffered window BEFORE committing a
+                # snapshot — a NaN that happened since the last flush must not
+                # produce a poisoned checkpoint that the abort message then
+                # calls "the last good one"
                 _flush_pending()
-                # host-side throughput over the flushed window (includes
-                # compile time in the first window — observability, not a
-                # benchmark; bench.py owns the measured number)
-                dt = _time.monotonic() - tput_t0
-                if dt > 0:
-                    logger.log_metrics(
-                        {"images_per_sec": tput_imgs / dt}, iterations + 1)
-                tput_t0, tput_imgs = _time.monotonic(), 0
+                if ckpt_writer is None:
+                    from munit_tpu.io.checkpoint import CheckpointWriter
+                    ckpt_writer = CheckpointWriter(
+                        ckpt_dir, keep=conf.get("snapshot_keep"),
+                        async_io=os.environ.get("MUNIT_ASYNC_CKPT", "1") == "1")
+                ckpt_writer.save(trainer.state, iterations + 1)
+                # FID tracking (train.py:119-130 prepared this but never called
+                # it — the hook is live here when eval_fid > 0 and the inception
+                # metric fn was attached via loaders["fid_metrics"])
+                if conf.get("eval_fid", 0) > 0 and loaders.get("fid_metrics"):
+                    fid = loaders["fid_metrics"](trainer, loaders["fid"])
+                    logger.log_metrics({"FID": fid}, iterations + 1)
 
-        if display_batches is not None:
-            tr_a, tr_b, te_a, te_b = display_batches
-            if (iterations + 1) % conf["image_save_iter"] == 0:
-                # sample() is a global computation (replicated params):
-                # ALL processes dispatch it; only the lead writes files
-                test_grid = trainer.sample(te_a, te_b)
-                train_grid = trainer.sample(tr_a, tr_b)
-                if lead:
-                    write_2images(test_grid, display, img_dir,
-                                  "test_%08d" % (iterations + 1), logger)
-                    write_2images(train_grid, display, img_dir,
-                                  "train_%08d" % (iterations + 1), logger)
-                    from munit_tpu.utils.html import write_html
-                    write_html(os.path.join(output_directory, "index.html"),
-                               iterations + 1, conf["image_save_iter"],
-                               img_dir)
-            if (iterations + 1) % conf["image_display_iter"] == 0:
-                cur_grid = trainer.sample(tr_a, tr_b)
-                if lead:
-                    write_2images(cur_grid, display, img_dir,
-                                  "train_current", logger)
-
-        if (iterations + 1) % conf["snapshot_save_iter"] == 0:
-            # async: the D2H snapshot happens before save() returns; the
-            # disk write overlaps subsequent train steps (MUNIT_ASYNC_CKPT=0
-            # restores the blocking write)
-            # divergence-check the buffered window BEFORE committing a
-            # snapshot — a NaN that happened since the last flush must not
-            # produce a poisoned checkpoint that the abort message then
-            # calls "the last good one"
-            _flush_pending()
-            if ckpt_writer is None:
-                from munit_tpu.io.checkpoint import CheckpointWriter
-                ckpt_writer = CheckpointWriter(
-                    ckpt_dir, keep=conf.get("snapshot_keep"),
-                    async_io=os.environ.get("MUNIT_ASYNC_CKPT", "1") == "1")
-            ckpt_writer.save(trainer.state, iterations + 1)
-            # FID tracking (train.py:119-130 prepared this but never called
-            # it — the hook is live here when eval_fid > 0 and the inception
-            # metric fn was attached via loaders["fid_metrics"])
-            if conf.get("eval_fid", 0) > 0 and loaders.get("fid_metrics"):
-                fid = loaders["fid_metrics"](trainer, loaders["fid"])
-                logger.log_metrics({"FID": fid}, iterations + 1)
-
-        iterations += 1
-        if stop is not None and stop.is_set():
-            # divergence-check the unflushed window BEFORE the preemption
-            # snapshot, so a poisoned state never overwrites the last good
-            # checkpoint
-            _flush_pending()
-            if ckpt_writer is None:
-                from munit_tpu.io.checkpoint import CheckpointWriter
-                ckpt_writer = CheckpointWriter(
-                    ckpt_dir, keep=conf.get("snapshot_keep"),
-                    async_io=False)  # shutdown path: write synchronously
-            ckpt_writer.save(trainer.state, iterations)
-            logger.log_metrics({"preempted": 1.0}, iterations)
-            break
+            iterations += 1
+            if stop is not None and stop.is_set():
+                # divergence-check the unflushed window BEFORE the preemption
+                # snapshot, so a poisoned state never overwrites the last good
+                # checkpoint
+                _flush_pending()
+                if ckpt_writer is None:
+                    from munit_tpu.io.checkpoint import CheckpointWriter
+                    ckpt_writer = CheckpointWriter(
+                        ckpt_dir, keep=conf.get("snapshot_keep"),
+                        async_io=False)  # shutdown path: write synchronously
+                ckpt_writer.save(trainer.state, iterations)
+                logger.log_metrics({"preempted": 1.0}, iterations)
+                break
+    except BaseException:
+        # ANY abnormal exit (not just divergence): drain the async
+        # checkpoint writer before the interpreter starts shutting
+        # down, or orbax's background commit dies with 'cannot
+        # schedule new futures after interpreter shutdown' and the
+        # snapshot is lost (caught by tools/sustained_run.py).
+        if profiling:
+            from munit_tpu.utils.profiling import stop_trace
+            stop_trace()
+        if ckpt_writer is not None:
+            try:
+                ckpt_writer.close()
+            except Exception:
+                pass
+        raise
     if profiling:
         from munit_tpu.utils.profiling import stop_trace
         stop_trace()
