@@ -163,10 +163,15 @@ def main():
             lowers = {
                 "dis": lambda: tr._dis_step.lower(
                     tr.state, x_a, x_b, lr0, False),
-                "dis_gen": lambda: tr._dis_gen_step.lower(
-                    tr.state, tr.frozen, x_a, x_b, mask, mask, z_sem, z_sem,
-                    lr0, False, synth=False, has_sem_gt=False),
             }
+            if tr.fused:
+                lowers["dis_gen"] = lambda: tr._dis_gen_step.lower(
+                    tr.state, tr.frozen, x_a, x_b, mask, mask, z_sem, z_sem,
+                    lr0, False, synth=False, has_sem_gt=False)
+            else:  # unfused path (grad_accum / MUNIT_FUSED=0): gen instead
+                lowers["gen"] = lambda: tr._gen_step.lower(
+                    tr.state, tr.frozen, x_a, x_b, mask, mask, z_sem, z_sem,
+                    lr0, False, synth=False, has_sem_gt=False)
             if tr.use_classifier_sr:
                 lowers["classifier_sr"] = lambda: tr._classifier_sr_step.lower(
                     tr.state, x_a, x_b,

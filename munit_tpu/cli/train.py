@@ -122,6 +122,19 @@ def main(argv=None):
 
     if opts.trainer != "MUNIT":
         raise SystemExit("Only support MUNIT")   # reference train.py:72
+    # Graceful preemption (SURVEY §5.3): install the SIGTERM/SIGINT handler
+    # FIRST, so a preemption signal that lands during the minutes-scale
+    # setup/compile phase still exits through the snapshot path (the loop
+    # checks the event after its current iteration) instead of killing the
+    # process before the handler exists.
+    import signal
+    import threading
+    stop = threading.Event()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, lambda *_: stop.set())
+        except ValueError:
+            pass  # not the main thread (e.g. driven from a test harness)
     if opts.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
     # Multi-host: join the cluster BEFORE any backend/device query (this
@@ -284,18 +297,9 @@ def main(argv=None):
         display_batches = tuple(
             jax.device_put(x, rep) for x in display_batches)
 
-    # Graceful preemption (SURVEY §5.3): on SIGTERM/SIGINT the loop
-    # snapshots the full trainer state (params + ExtraAdam moments +
-    # extrapolation copy + rng) and exits 0; restart with --resume.
-    import signal
-    import threading
-    stop = threading.Event()
-    for sig in (signal.SIGTERM, signal.SIGINT):
-        try:
-            signal.signal(sig, lambda *_: stop.set())
-        except ValueError:
-            pass  # not the main thread (e.g. driven from a test harness)
-
+    # (stop event + SIGTERM/SIGINT handler installed at the top of main —
+    # the loop snapshots the full trainer state on preemption and exits 0;
+    # restart with --resume.)
     end = train_loop(trainer, conf, loaders, output_directory, logger,
                      start_iteration=start,
                      display_batches=display_batches,

@@ -139,6 +139,25 @@ def validate(conf: Dict[str, Any]) -> Dict[str, Any]:
         raise ValueError(
             f"batch_size ({conf['batch_size']}) must be divisible by "
             f"grad_accum ({ga})")
+    # Discriminator pyramid arithmetic: the smallest of num_scales
+    # avg-pooled inputs must survive n_layer stride-2 4x4 convs with at
+    # least one output pixel, or its logit map is a ZERO-SIZE tensor and
+    # every GAN loss is mean-of-empty = NaN (the torch reference fails the
+    # same way, silently — networks.py:39-77; caught at 32² crops with the
+    # shipped num_scales=3 / n_layer=4).
+    s = min(conf["crop_image_height"], conf["crop_image_width"])
+    for _ in range(conf["dis"]["num_scales"] - 1):
+        s = (s - 1) // 2 + 1          # AvgPool2d(3, stride 2, pad 1)
+    for _ in range(conf["dis"]["n_layer"]):
+        s = (s - 2) // 2 + 1          # Conv2d(k=4, stride 2, pad 1)
+    if s < 1:
+        raise ValueError(
+            f"dis pyramid collapses to a zero-size logit map: crop "
+            f"{conf['crop_image_height']}x{conf['crop_image_width']} with "
+            f"num_scales={conf['dis']['num_scales']}, "
+            f"n_layer={conf['dis']['n_layer']} leaves the smallest scale "
+            f"with no output pixels (GAN losses would be NaN). Use a "
+            f"larger crop or fewer scales/layers.")
     return conf
 
 

@@ -46,6 +46,17 @@ def test_validation_errors():
         validate({"dis": {"gan_type": "wgan"}})
 
 
+def test_dis_pyramid_zero_size_rejected():
+    """32² crops with the shipped dis (num_scales=3, n_layer=4) leave the
+    smallest pyramid scale with a zero-size logit map — every GAN loss
+    becomes mean-of-empty NaN (the torch reference fails identically,
+    silently). validate() must reject it with a pointed message."""
+    with pytest.raises(ValueError, match="zero-size logit map"):
+        validate({"crop_image_height": 32, "crop_image_width": 32})
+    # 64² survives (smallest scale 16 → 4 convs → 1 pixel)
+    validate({"crop_image_height": 64, "crop_image_width": 64})
+
+
 def test_flatten_opts():
     flat = flatten_opts({"a": {"b": {"c": 2}, "e": 4}, "f": 5})
     assert flat == {"a.b.c": 2, "a.e": 4, "f": 5}

@@ -8,7 +8,7 @@ mid-run (graceful snapshot) → --resume → completion. Reports steady-state
 throughput, HBM high-water, and the loss trajectory from metrics.jsonl.
 
   python tools/sustained_run.py --outdir /tmp/munit_soak --iters 5000 \
-      --sigterm-after 180
+      --sigterm-at-step 2500
 
 The reference's envelope is train.py:159-330 (1M iterations, restart by
 hand); this proves the munit_tpu loop as a training SYSTEM, not a
@@ -110,7 +110,22 @@ def write_config(path, lists, inc, moments, fid_list, iters, batch, size,
         yaml.safe_dump(base, f)
 
 
-def run_train(conf_path, outdir, resume, sigterm_after=None, timeout=3600):
+def _max_logged_step(outdir):
+    path = os.path.join(outdir, "outputs", "soak_256", "metrics.jsonl")
+    best = 0
+    try:
+        with open(path) as f:
+            for line in f:
+                try:
+                    best = max(best, json.loads(line).get("step", 0))
+                except Exception:
+                    pass
+    except FileNotFoundError:
+        pass
+    return best
+
+
+def run_train(conf_path, outdir, resume, sigterm_at_step=None, timeout=3600):
     cmd = [sys.executable, "-m", "munit_tpu", "train", "--config", conf_path,
            "--output_path", outdir] + (["--resume"] if resume else [])
     env = dict(os.environ, PYTHONPATH=REPO)
@@ -119,6 +134,7 @@ def run_train(conf_path, outdir, resume, sigterm_after=None, timeout=3600):
                             stderr=subprocess.STDOUT, text=True)
     sent = False
     lines = []
+    last_check = 0.0
     while True:
         line = proc.stdout.readline()
         if line:
@@ -127,12 +143,17 @@ def run_train(conf_path, outdir, resume, sigterm_after=None, timeout=3600):
                 print(f"  [train] {line.strip()[:140]}", flush=True)
         if proc.poll() is not None:
             break
-        if (sigterm_after and not sent
-                and time.time() - t0 > sigterm_after):
-            print(f"== sending SIGTERM at t+{time.time() - t0:.0f}s",
-                  flush=True)
-            proc.send_signal(signal.SIGTERM)
-            sent = True
+        # progress-based preemption: SIGTERM only once the run has LOGGED
+        # past the given step, so the signal always lands mid-training
+        # (not mid-compile) and the graceful snapshot has state worth saving
+        if (sigterm_at_step and not sent
+                and time.time() - last_check > 5):
+            last_check = time.time()
+            if _max_logged_step(outdir) >= sigterm_at_step:
+                print(f"== sending SIGTERM at t+{time.time() - t0:.0f}s "
+                      f"(logged step >= {sigterm_at_step})", flush=True)
+                proc.send_signal(signal.SIGTERM)
+                sent = True
         if time.time() - t0 > timeout:
             proc.kill()
             raise RuntimeError("train phase exceeded timeout")
@@ -197,8 +218,8 @@ def main():
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--n-train", type=int, default=128)
     p.add_argument("--snapshot-iter", type=int, default=1000)
-    p.add_argument("--sigterm-after", type=float, default=None,
-                   help="seconds into phase 1 to send SIGTERM")
+    p.add_argument("--sigterm-at-step", type=int, default=None,
+                   help="send SIGTERM once phase 1 has logged this step")
     p.add_argument("--timeout", type=float, default=3600)
     p.add_argument("--tiny", action="store_true",
                    help="shrink the nets for a CPU smoke of this script")
@@ -214,9 +235,9 @@ def main():
 
     t_all = time.time()
     rc, _ = run_train(conf_path, args.outdir, resume=False,
-                      sigterm_after=args.sigterm_after,
+                      sigterm_at_step=args.sigterm_at_step,
                       timeout=args.timeout)
-    if args.sigterm_after:
+    if args.sigterm_at_step:
         print("== resuming after SIGTERM...", flush=True)
         rc, _ = run_train(conf_path, args.outdir, resume=True,
                           timeout=args.timeout)
