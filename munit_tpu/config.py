@@ -139,26 +139,39 @@ def validate(conf: Dict[str, Any]) -> Dict[str, Any]:
         raise ValueError(
             f"batch_size ({conf['batch_size']}) must be divisible by "
             f"grad_accum ({ga})")
-    # Discriminator pyramid arithmetic: the smallest of num_scales
-    # avg-pooled inputs must survive n_layer stride-2 4x4 convs with at
-    # least one output pixel, or its logit map is a ZERO-SIZE tensor and
-    # every GAN loss is mean-of-empty = NaN (the torch reference fails the
-    # same way, silently — networks.py:39-77; caught at 32² crops with the
-    # shipped num_scales=3 / n_layer=4).
+    if dis_pyramid_floor(conf) < 1:
+        # warn here (eval/translate configs never build the discriminator);
+        # MUNITTrainer raises at construction — training with this config
+        # is guaranteed-NaN (see dis_pyramid_floor)
+        import warnings
+        warnings.warn(_pyramid_msg(conf), stacklevel=2)
+    return conf
+
+
+def dis_pyramid_floor(conf: Dict[str, Any]) -> int:
+    """Output size of the discriminator's SMALLEST pyramid scale.
+
+    The smallest of num_scales avg-pooled inputs must survive n_layer
+    stride-2 4x4 convs with at least one output pixel, or its logit map is
+    a ZERO-SIZE tensor and every GAN loss is mean-of-empty = NaN (the torch
+    reference fails the same way, silently — networks.py:39-77; caught at
+    32² crops with the shipped num_scales=3 / n_layer=4)."""
     s = min(conf["crop_image_height"], conf["crop_image_width"])
     for _ in range(conf["dis"]["num_scales"] - 1):
         s = (s - 1) // 2 + 1          # AvgPool2d(3, stride 2, pad 1)
     for _ in range(conf["dis"]["n_layer"]):
         s = (s - 2) // 2 + 1          # Conv2d(k=4, stride 2, pad 1)
-    if s < 1:
-        raise ValueError(
-            f"dis pyramid collapses to a zero-size logit map: crop "
-            f"{conf['crop_image_height']}x{conf['crop_image_width']} with "
-            f"num_scales={conf['dis']['num_scales']}, "
-            f"n_layer={conf['dis']['n_layer']} leaves the smallest scale "
-            f"with no output pixels (GAN losses would be NaN). Use a "
-            f"larger crop or fewer scales/layers.")
-    return conf
+    return s
+
+
+def _pyramid_msg(conf) -> str:
+    return (
+        f"dis pyramid collapses to a zero-size logit map: crop "
+        f"{conf['crop_image_height']}x{conf['crop_image_width']} with "
+        f"num_scales={conf['dis']['num_scales']}, "
+        f"n_layer={conf['dis']['n_layer']} leaves the smallest scale "
+        f"with no output pixels (GAN losses would be NaN). Use a "
+        f"larger crop or fewer scales/layers.")
 
 
 def get_config(path: str) -> Dict[str, Any]:

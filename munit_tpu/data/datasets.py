@@ -61,17 +61,29 @@ def _cache_budget_bytes() -> int:
     return int(os.environ.get("MUNIT_CACHE_MB", "2048")) << 20
 
 
-def _uint8_out_default() -> bool:
-    """MUNIT_LOADER_UINT8=1: emit uint8 images/binary masks; the device
-    prefetch stage normalizes on-TPU (4x less H2D traffic, no host-side
-    float conversion on the single CPU core)."""
-    return os.environ.get("MUNIT_LOADER_UINT8", "0") == "1"
+def _uint8_out_default(train: bool) -> bool:
+    """MUNIT_LOADER_UINT8 (default ON for TRAINING datasets): emit uint8
+    images/binary masks; the device prefetch stage normalizes on-TPU (4x
+    less H2D traffic, no host-side float conversion on the single CPU
+    core). Device vs host normalization is pinned to <=1 ulp
+    (tests/test_loader_cache.py). Eval/inference datasets (train=False)
+    keep f32 output — their consumers (translate_batch, FID loaders) read
+    samples directly without the device_prefetch normalization point.
+
+    Default flipped ON in r4: the r4 production soak measured the f32-H2D
+    default at ~12 img/s against the same workload's 122 img/s compute —
+    the tunnel H2D of f32 batches dominated the loop, while every BENCH.md
+    e2e number had been measured with uint8 mode explicitly on
+    (tools/bench_e2e.py). Set MUNIT_LOADER_UINT8=0 for the old behavior."""
+    return train and os.environ.get("MUNIT_LOADER_UINT8", "1") == "1"
 
 
-def _setup_cache(obj, cache_mb, uint8_out, cacheable: bool):
+def _setup_cache(obj, cache_mb, uint8_out, cacheable: bool,
+                 train: bool = True):
     budget = _cache_budget_bytes() if cache_mb is None else cache_mb << 20
     obj.cache = _DecodeCache(budget) if budget > 0 and cacheable else None
-    obj.uint8_out = _uint8_out_default() if uint8_out is None else uint8_out
+    obj.uint8_out = (_uint8_out_default(train) if uint8_out is None
+                     else uint8_out)
 
 
 IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".JPG", ".JPEG",
@@ -126,7 +138,8 @@ class ImageFilelist:
         self.paths = read_filelist(flist)
         self.new_size, self.h, self.w = new_size, height, width
         self.train, self.crop = train, crop
-        _setup_cache(self, cache_mb, uint8_out, bool(new_size and crop))
+        _setup_cache(self, cache_mb, uint8_out, bool(new_size and crop),
+                     train=train)
 
     def __len__(self):
         return len(self.paths)
@@ -180,7 +193,8 @@ class ImageFolder(ImageFilelist):
         self.new_size, self.h, self.w = new_size, height, width
         self.train, self.crop = train, crop
         self.return_paths = return_paths
-        _setup_cache(self, cache_mb, uint8_out, bool(new_size and crop))
+        _setup_cache(self, cache_mb, uint8_out, bool(new_size and crop),
+                     train=train)
 
     def get(self, index, rng):
         out = super().get(index, rng)

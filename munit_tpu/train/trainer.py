@@ -316,6 +316,12 @@ class MUNITTrainer:
         # numerics — never the default, never set by any shipped config.
         self.int8_dis_fakes = _os.environ.get("MUNIT_INT8_DIS", "0") == "1"
 
+        from munit_tpu.config import dis_pyramid_floor, _pyramid_msg
+        if dis_pyramid_floor(conf) < 1:
+            # training with a zero-size dis scale is guaranteed-NaN; raise
+            # here (validate() only warns — eval configs never build D)
+            raise ValueError(_pyramid_msg(conf))
+
         self.gen = GenBundle(conf, remat=remat)
         d = conf["dis"]
         self.dis = MsImageDis(

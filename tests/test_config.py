@@ -50,11 +50,19 @@ def test_dis_pyramid_zero_size_rejected():
     """32² crops with the shipped dis (num_scales=3, n_layer=4) leave the
     smallest pyramid scale with a zero-size logit map — every GAN loss
     becomes mean-of-empty NaN (the torch reference fails identically,
-    silently). validate() must reject it with a pointed message."""
+    silently). validate() warns (eval configs never build D); the trainer
+    refuses to construct."""
+    with pytest.warns(UserWarning, match="zero-size logit map"):
+        conf = validate({"crop_image_height": 32, "crop_image_width": 32})
+    import jax
+    from munit_tpu.train import MUNITTrainer
     with pytest.raises(ValueError, match="zero-size logit map"):
-        validate({"crop_image_height": 32, "crop_image_width": 32})
+        MUNITTrainer(conf, jax.random.PRNGKey(0))
     # 64² survives (smallest scale 16 → 4 convs → 1 pixel)
-    validate({"crop_image_height": 64, "crop_image_width": 64})
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        validate({"crop_image_height": 64, "crop_image_width": 64})
 
 
 def test_flatten_opts():

@@ -49,14 +49,22 @@ def test_to_tensor_normalize_parity(imgdir):
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
-def test_list_loader_shapes_and_range(imgdir):
+def test_list_loader_shapes_and_range(imgdir, monkeypatch):
     _, _, flist = imgdir
+    # default (r4): uint8 batches, normalized on device by device_prefetch
     loader = get_data_loader_list("", flist, batch_size=2, train=True,
                                   new_size=64, height=48, width=48,
                                   num_workers=2)
     batch = next(iter(loader))
     x = batch["image"]
     assert x.shape == (2, 48, 48, 3)
+    assert x.dtype == np.uint8
+    # MUNIT_LOADER_UINT8=0: host-side f32 [-1,1] (the pre-r4 default)
+    monkeypatch.setenv("MUNIT_LOADER_UINT8", "0")
+    loader = get_data_loader_list("", flist, batch_size=2, train=True,
+                                  new_size=64, height=48, width=48,
+                                  num_workers=2)
+    x = next(iter(loader))["image"]
     assert x.dtype == np.float32
     assert x.min() >= -1.0 and x.max() <= 1.0
 
@@ -216,7 +224,8 @@ def test_jpeg_draft_decode_opt_in(tmp_path, monkeypatch):
 
     def sample(flist):
         ds = ImageFilelist("", str(tmp_path / flist), new_size=128,
-                           height=128, width=128, train=False, cache_mb=0)
+                           height=128, width=128, train=False, cache_mb=0,
+                           uint8_out=False)   # compare in [-1,1] floats
         return ds.get(0, np.random.default_rng(0))["image"]
 
     monkeypatch.delenv("MUNIT_JPEG_DRAFT", raising=False)

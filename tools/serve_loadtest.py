@@ -147,7 +147,10 @@ def main():
     cmd = [sys.executable, "-m", "munit_tpu", "serve",
            "--config", conf_path, "--checkpoint", ckpt, "--style", style,
            "--port", str(args.port), "--max-batch", str(args.max_batch)]
-    env = dict(os.environ, PYTHONPATH=REPO)
+    env = dict(os.environ)
+    # APPEND to PYTHONPATH: replacing it drops /root/.axon_site,
+    # whose sitecustomize registers the axon TPU PJRT plugin
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     log = open(os.path.join(args.outdir, "server.log"), "w")
     proc = subprocess.Popen(cmd, env=env, stdout=log, stderr=log)
     try:

@@ -128,7 +128,10 @@ def _max_logged_step(outdir):
 def run_train(conf_path, outdir, resume, sigterm_at_step=None, timeout=3600):
     cmd = [sys.executable, "-m", "munit_tpu", "train", "--config", conf_path,
            "--output_path", outdir] + (["--resume"] if resume else [])
-    env = dict(os.environ, PYTHONPATH=REPO)
+    env = dict(os.environ)
+    # APPEND to PYTHONPATH: replacing it drops /root/.axon_site,
+    # whose sitecustomize registers the axon TPU PJRT plugin
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     t0 = time.time()
     proc = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
                             stderr=subprocess.STDOUT, text=True)
