@@ -226,6 +226,12 @@ def device_prefetch(iterator, size: int = 2, sharding=None,
             return _norm_image(v)
         if v.dtype == np.uint8 and k.startswith("mask"):
             return _norm_mask(v)
+        if (image_dtype is not None and k.startswith("image")
+                and v.dtype != image_dtype):
+            # f32-mode loaders (MUNIT_LOADER_UINT8=0) under an explicit
+            # activation dtype (precision: bf16): cast on device so both
+            # loader modes feed identical step graphs
+            return jnp.asarray(v).astype(image_dtype)
         return v
 
     # Multi-host (jax.process_count() > 1): per-host loader shards must be

@@ -107,6 +107,14 @@ def train_loop(trainer, conf, loaders, output_directory: str,
     if mesh is not None:
         from munit_tpu.dist import data_sharding
         sharding = data_sharding(mesh)
+    # precision: bf16 → feed bf16 activations (half the activation HBM
+    # traffic; the numerics every BENCH.md training number measures — and
+    # the same step graphs bench.py warms the persistent cache with).
+    # masks/sem stay f32/int32 either way.
+    import jax.numpy as jnp
+    act_dt = (jnp.bfloat16
+              if str(conf.get("precision", "bf16")).lower()
+              in ("bf16", "bfloat16") else None)
     def _stream(loader):
         # exact data-order resume: the loop consumes exactly one batch per
         # loader per iteration, so a restore at start_iteration skips that
@@ -117,7 +125,8 @@ def train_loop(trainer, conf, loaders, output_directory: str,
             src = loader.iter_from(start_iteration)
         else:
             src = iter(loader)
-        return device_prefetch(src, size=2, sharding=sharding)
+        return device_prefetch(src, size=2, sharding=sharding,
+                               image_dtype=act_dt)
 
     it_a = _stream(loaders["a"])
     it_b = _stream(loaders["b"])
