@@ -156,6 +156,27 @@ def main(argv=None):
                     f"'coordinator:port,num_processes,process_id' ({e})")
     lead = jax.process_index() == 0
 
+    # Persistent compilation cache (same dirs as bench.py): a restarted or
+    # resumed run loads the big step executables in seconds instead of
+    # recompiling for minutes — the r4 soak's resume phase spent ~6 min
+    # recompiling graphs the first phase had already built. MUNIT_JIT_CACHE
+    # overrides the location; set it empty to disable.
+    cache = os.environ.get("MUNIT_JIT_CACHE")
+    if cache is None:
+        repo = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        cache = os.path.join(
+            repo, ".jax_cache" if jax.default_backend() != "cpu"
+            else ".jax_cache_cpu")
+    if cache:
+        try:
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except OSError as e:   # read-only install dir etc. — run uncached
+            print(f"WARNING: compile cache disabled ({e})")
+
     conf = get_config(opts.config)
     # training numerics (config `precision:`): "bf16" (default) = bf16 MXU
     # multiplies with f32 accumulate, norms/losses/optimizer in f32 — the
