@@ -169,6 +169,15 @@ def set_conv_compute(dtype=None, precision=lax.Precision.HIGHEST):
     _CONV_DTYPE = dtype
 
 
+def conv_compute_dtype():
+    """The configured conv multiply dtype (None in parity mode). Consumers
+    that choose an ACTIVATION dtype (the training loop's device prefetch)
+    must key off this, not off the config string — train_loop can be driven
+    directly without the CLI's set_conv_compute call, and bf16 activations
+    against f32 kernels is a trace-time dtype error."""
+    return _CONV_DTYPE
+
+
 # --- int8 (W8A8) quantized convolutions — INFERENCE ONLY -------------------
 #
 # TPU v5e's MXU runs s8 x s8 -> s32 at ~2x the bf16 rate; measured on the

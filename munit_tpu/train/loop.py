@@ -107,14 +107,15 @@ def train_loop(trainer, conf, loaders, output_directory: str,
     if mesh is not None:
         from munit_tpu.dist import data_sharding
         sharding = data_sharding(mesh)
-    # precision: bf16 → feed bf16 activations (half the activation HBM
-    # traffic; the numerics every BENCH.md training number measures — and
-    # the same step graphs bench.py warms the persistent cache with).
+    # bf16 conv-compute mode → feed bf16 activations (half the activation
+    # HBM traffic; the numerics every BENCH.md training number measures —
+    # and the same step graphs bench.py warms the persistent cache with).
+    # Keyed off the ACTUAL conv-compute state, not the config string:
+    # train_loop can be driven directly without the CLI's set_conv_compute
+    # call, and bf16 activations against f32 kernels is a dtype error.
     # masks/sem stay f32/int32 either way.
-    import jax.numpy as jnp
-    act_dt = (jnp.bfloat16
-              if str(conf.get("precision", "bf16")).lower()
-              in ("bf16", "bfloat16") else None)
+    from munit_tpu.core.ops import conv_compute_dtype
+    act_dt = conv_compute_dtype()
     def _stream(loader):
         # exact data-order resume: the loop consumes exactly one batch per
         # loader per iteration, so a restore at start_iteration skips that

@@ -148,7 +148,13 @@ def main():
           f"device {__import__('jax').devices()[0]}", flush=True)
     ok = True
     for n in names:
-        ok &= run_flavor(n)
+        try:
+            ok &= run_flavor(n)
+        except Exception as e:  # noqa: BLE001 — transient tunnel drops
+            print(f"{n}: attempt 1 failed ({type(e).__name__}: {e}); "
+                  "retrying once", flush=True)
+            time.sleep(15)
+            ok &= run_flavor(n)
     sys.exit(0 if ok else 1)
 
 
