@@ -21,6 +21,8 @@ import time
 import numpy as np
 from PIL import Image
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault("MUNIT_PALLAS", "0")
 # Production loader fast path on the 1-core host: decoded-image RAM cache +
 # uint8 H2D + on-device normalize (BENCH.md r2). BENCH_SLOW_LOADER=1 measures
