@@ -179,9 +179,19 @@ def main():
                     lr0, False, domain_synth=False)
             t0 = time.time()
 
+            warm_errors = []
+
             def warm(name, lower):
                 ts = time.time()
-                lower().compile()
+                try:
+                    lower().compile()
+                except Exception as e:  # surface after join — daemon
+                    # threads would otherwise swallow the failure and the
+                    # jit calls below silently absorb the real compile cost
+                    warm_errors.append((name, e))
+                    log(f"bench: prewarm {name} FAILED after "
+                        f"{time.time() - ts:.1f}s: {e!r}")
+                    return
                 log(f"bench: prewarm {name} ready in {time.time() - ts:.1f}s")
 
             threads = [threading.Thread(target=warm, args=kv, daemon=True)
@@ -190,6 +200,10 @@ def main():
                 th.start()
             for th in threads:
                 th.join()
+            if warm_errors:
+                log(f"bench: WARNING {len(warm_errors)} prewarm(s) failed "
+                    f"({', '.join(n for n, _ in warm_errors)}) — 'compile' "
+                    "timings below include the real compile cost")
             log(f"bench: parallel prewarm done in {time.time() - t0:.1f}s")
 
         log(f"bench: compiling dis step (batch={BATCH}/chip)...")

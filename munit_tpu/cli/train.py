@@ -130,9 +130,19 @@ def main(argv=None):
     import signal
     import threading
     stop = threading.Event()
+
+    def _on_signal(signum, frame):
+        # Second signal = hard abort: restore the default handler so a user
+        # stuck in the minutes-long setup/compile phase (where the loop's
+        # stop-event check hasn't been reached yet) can still kill the
+        # process with another Ctrl-C instead of needing SIGKILL.
+        if stop.is_set():
+            signal.signal(signum, signal.SIG_DFL)
+            signal.raise_signal(signum)
+        stop.set()
     for sig in (signal.SIGTERM, signal.SIGINT):
         try:
-            signal.signal(sig, lambda *_: stop.set())
+            signal.signal(sig, _on_signal)
         except ValueError:
             pass  # not the main thread (e.g. driven from a test harness)
     if opts.platform == "cpu":
@@ -241,7 +251,17 @@ def main(argv=None):
         # live here): vgg_model_path points at a torchvision VGG16 state
         # dict (docs/REAL_WEIGHTS.md).
         vgg_path = conf.get("vgg_model_path")
-        if vgg_path and os.path.exists(str(vgg_path)):
+        if vgg_path and not os.path.exists(str(vgg_path)):
+            # An explicitly configured path that doesn't exist is a config
+            # error (e.g. a typo), not a request for random weights — a
+            # silent fallback would train to completion with a meaningless
+            # perceptual loss term. The random fallback below is reserved
+            # for the unset-path case (smoke tests, toy runs).
+            raise SystemExit(
+                f"vgg_w > 0 and vgg_model_path={vgg_path!r} does not exist; "
+                "fix the path (docs/REAL_WEIGHTS.md) or unset "
+                "vgg_model_path to opt into random-weight VGG16")
+        if vgg_path:
             from munit_tpu.nn.vgg import convert_vgg16_state_dict
             import torch
             sd = {k: v.numpy() for k, v in torch.load(

@@ -88,9 +88,14 @@ class CheckpointWriter:
         paths may drain defensively before the normal-exit close runs."""
         if getattr(self, "_closed", False):
             return
-        self._closed = True
-        self._mgr.wait_until_finished()
-        self._mgr.close()
+        try:
+            self._mgr.wait_until_finished()
+        finally:
+            # Mark closed / release the manager even when the drain raises —
+            # setting _closed before a failed drain would make every later
+            # close() a no-op and leak the manager's background machinery.
+            self._closed = True
+            self._mgr.close()
 
     def __enter__(self):
         return self
