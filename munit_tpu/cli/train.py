@@ -57,29 +57,37 @@ def build_loaders(conf, seed=0, **shard):
             conf["data_list_fid_a"], conf["data_list_fid_b"],
             max(conf["batch_size_fid"], 1), new_size=conf["new_size"],
             num_workers=conf["num_workers"])
-        # In-training FID (reference train.py:119-130 prepared this and
-        # never called it; our loop's hook at train/loop.py snapshot time is
-        # live when this metric fn is attached). Needs converted InceptionV3
-        # variables — path via conf["inception_ckpt_path"].
-        ckpt = conf.get("inception_ckpt_path")
-        if jax.process_count() > 1:
-            # sample_fid/inception run on host-local FID batches, which
-            # cannot join a multi-process computation; run
-            # `evaluate fid` offline on the snapshots instead
-            print("WARNING: in-training FID is single-process only — "
-                  "disabled under --dist; use cli/evaluate fid offline")
-        elif ckpt and os.path.exists(str(ckpt)):
-            import pickle
-            from munit_tpu.eval.fid import prepare_inception_metrics
-            with open(str(ckpt), "rb") as f:
-                variables = pickle.load(f)
-            loaders["fid_metrics"] = prepare_inception_metrics(
-                conf["inception_moment_path"], variables,
-                use_jax=jax.default_backend() != "cpu")
-        else:
-            print("WARNING: eval_fid > 0 but inception_ckpt_path missing — "
-                  "in-training FID disabled")
     return loaders
+
+
+def attach_fid_metrics(conf, loaders, mesh=None):
+    """In-training FID (reference train.py:119-130 prepared this and never
+    called it; our loop's hook at train/loop.py snapshot time is live when
+    this metric fn is attached). Needs converted InceptionV3 variables —
+    path via conf["inception_ckpt_path"]. With a mesh (``--mesh``/``--dist``)
+    the translate+inception step is sharded over the data axis — the same
+    pipeline as `evaluate fid --mesh auto` — so multi-process runs compute
+    FID in-training too (the fid loader is unsharded: every process reads
+    the full list and contributes its slice of each global batch)."""
+    if "fid" not in loaders:
+        return
+    ckpt = conf.get("inception_ckpt_path")
+    if jax.process_count() > 1 and mesh is None:
+        # host-local FID batches cannot join a multi-process computation
+        # without a mesh to assemble global arrays on
+        print("WARNING: in-training FID under --dist requires --mesh — "
+              "disabled; use cli/evaluate fid offline")
+    elif ckpt and os.path.exists(str(ckpt)):
+        import pickle
+        from munit_tpu.eval.fid import prepare_inception_metrics
+        with open(str(ckpt), "rb") as f:
+            variables = pickle.load(f)
+        loaders["fid_metrics"] = prepare_inception_metrics(
+            conf["inception_moment_path"], variables,
+            use_jax=jax.default_backend() != "cpu", mesh=mesh)
+    else:
+        print("WARNING: eval_fid > 0 but inception_ckpt_path missing — "
+              "in-training FID disabled")
 
 
 def main(argv=None):
@@ -301,6 +309,7 @@ def main(argv=None):
         shard = dict(shard_index=jax.process_index(),
                      shard_count=jax.process_count())
     loaders = build_loaders(conf, seed=opts.seed, **shard)
+    attach_fid_metrics(conf, loaders, mesh=mesh)
 
     # display batches (train.py:132-143)
     display = int(conf["display_size"])

@@ -32,6 +32,10 @@ _DEFAULTS: Dict[str, Any] = {
     # train/trainer.py::_accum_grads) — fits large effective batches in
     # one chip's HBM. 1 = reference behavior.
     "grad_accum": 1,
+    # with grad_accum > 1: 1 = one shared vjp forward per micro-batch
+    # (gen adversarial terms see the PRE-update D — docs/PARITY.md #12b);
+    # 0 (default) = the exact two-phase chunked step.
+    "accum_shared_fwd": 0,
     "weight_decay": 0.0001,
     "beta1": 0.5,
     "beta2": 0.999,

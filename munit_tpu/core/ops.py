@@ -76,8 +76,10 @@ def _pad2d_fold_bwd(g: jax.Array, p: int, mode: str) -> jax.Array:
                 + padz(tl, 1, 1) + padz(tr, 1, m - 1 - p)
                 + padz(bl, n - 1 - p, 1) + padz(br, n - 1 - p, m - 1 - p))
     # replicate: every border row/col sources the edge row/col
-    s1 = lambda t: jnp.sum(t.astype(jnp.float32), axis=1, keepdims=True)
-    s2 = lambda t: jnp.sum(t.astype(jnp.float32), axis=2, keepdims=True)
+    s1 = lambda t: jnp.sum(t.astype(jnp.promote_types(t.dtype, jnp.float32)),
+                           axis=1, keepdims=True)
+    s2 = lambda t: jnp.sum(t.astype(jnp.promote_types(t.dtype, jnp.float32)),
+                           axis=2, keepdims=True)
     top = s1(g[:, 0:p, p:p + m, :]).astype(g.dtype)
     bot = s1(g[:, n + p:n + 2 * p, p:p + m, :]).astype(g.dtype)
     left = s2(g[:, p:p + n, 0:p, :]).astype(g.dtype)
@@ -481,13 +483,21 @@ def _moments(xf: jax.Array, axes) -> tuple:
     return mean, var
 
 
+def upcast_f32(x: jax.Array) -> jax.Array:
+    """Cast to AT LEAST float32: bf16 statistics/losses compute in f32 (the
+    production numerics contract), while float64 — the driver dryrun's
+    jax_enable_x64 parity leg — passes through without a silent downcast
+    that would cap sharded-vs-unsharded gradient parity at f32 noise."""
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """Affine-less instance norm over H,W per (sample, channel).
 
     Matches torch nn.InstanceNorm2d defaults (biased variance, eps=1e-5).
-    x: NHWC. Statistics are computed in float32 regardless of input dtype.
+    x: NHWC. Statistics are computed in (at least) float32.
     """
-    xf = x.astype(jnp.float32)
+    xf = upcast_f32(x)
     mean, var = _moments(xf, (1, 2))
     y = (xf - mean) * lax.rsqrt(var + eps)
     return y.astype(x.dtype)
@@ -505,7 +515,7 @@ def packed_instance_norm(y2: jax.Array, f: int, cout: int,
     phase reduction. Exact vs instance_norm(depth_to_space(y2, f)) up to
     f32 summation association."""
     b, hh, ww, cpk = y2.shape
-    yf = y2.astype(jnp.float32)
+    yf = upcast_f32(y2)
     s1 = jnp.sum(yf, axis=(1, 2))
     s2 = jnp.sum(yf * yf, axis=(1, 2))
     n = hh * ww * f * f
@@ -531,11 +541,11 @@ def adain(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     bias=beta (mean) — networks.py:823-845 (training=True → batch statistics,
     biased variance).
     """
-    xf = x.astype(jnp.float32)
+    xf = upcast_f32(x)
     mean, var = _moments(xf, (1, 2))
     y = (xf - mean) * lax.rsqrt(var + eps)
-    g = gamma.astype(jnp.float32)[:, None, None, :]
-    b = beta.astype(jnp.float32)[:, None, None, :]
+    g = upcast_f32(gamma)[:, None, None, :]
+    b = upcast_f32(beta)[:, None, None, :]
     return (y * g + b).astype(x.dtype)
 
 
@@ -548,13 +558,13 @@ def whole_layer_norm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
         y = (x - mean) / (std + eps); out = y * gamma[c] + beta[c]
     x: NHWC; gamma, beta: (C,).
     """
-    xf = x.astype(jnp.float32)
+    xf = upcast_f32(x)
     n = x.shape[1] * x.shape[2] * x.shape[3]
     mean, var_b = _moments(xf, (1, 2, 3))
     # unbiased std, matching torch.Tensor.std() default (correction=1)
     std = jnp.sqrt(var_b * (n / (n - 1)))
     y = (xf - mean) / (std + eps)
-    out = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    out = y * upcast_f32(gamma) + upcast_f32(beta)
     return out.astype(x.dtype)
 
 

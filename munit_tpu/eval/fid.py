@@ -106,24 +106,82 @@ def accumulate_activations(sample_fn: Callable, pool_fn: Callable,
 
 def prepare_inception_metrics(inception_moment_path: str,
                               inception_variables,
-                              use_jax: bool = True) -> Callable:
+                              use_jax: bool = True,
+                              mesh=None) -> Callable:
     """Reference protocol (inception_utils.py:258-308): returns
     get_inception_metrics(trainer, fid_loader) → FID. ``use_jax=False``
     selects the exact scipy sqrtm path (cheaper than 400 NS iterations on
-    CPU hosts — tests)."""
+    CPU hosts — tests).
+
+    ``mesh``: shard the fused translate+inception step over the mesh's
+    ``data`` axis (params/inception replicated, batches split — the same
+    pipeline as ``cli/evaluate fid --mesh auto``). This is what makes
+    in-training FID work under ``--dist``: the fid loader stays UNSHARDED
+    (every process reads the identical full list, so all processes agree
+    on the batch count — no cross-host length negotiation), each process
+    donates its slice of every batch via ``make_global_array``, and the
+    pool comes back fully replicated so each host materializes it locally.
+    """
     from munit_tpu.eval.inception import InceptionV3, inception_preprocess
     moments = np.load(inception_moment_path)
     data_mu, data_sigma = moments["mu"], moments["sigma"]
     net = InceptionV3()
 
-    @jax.jit
-    def pool_fn(img_pm1):
-        pool, _ = net.apply(inception_variables, inception_preprocess(img_pm1))
-        return pool
+    if mesh is None:
+        @jax.jit
+        def pool_fn(img_pm1):
+            pool, _ = net.apply(inception_variables,
+                                inception_preprocess(img_pm1))
+            return pool
+
+        def get_inception_metrics(trainer, fid_loader, use_jax=use_jax):
+            pool = accumulate_activations(trainer.sample_fid, pool_fn,
+                                          fid_loader.batches())
+            return compute_fid_from_pools(pool, data_mu, data_sigma, use_jax)
+
+        return get_inception_metrics
+
+    from munit_tpu.dist import mesh as M
+    ds = M.data_sharding(mesh)
+    rep = M.replicated(mesh)
+    inception_variables = jax.device_put(inception_variables, rep)
+    n_data = mesh.shape["data"]
+    cache = {}
 
     def get_inception_metrics(trainer, fid_loader, use_jax=use_jax):
-        pool = accumulate_activations(trainer.sample_fid, pool_fn,
-                                      fid_loader.batches())
+        if "step" not in cache:
+            def _step(gen_params, x_a, x_b):
+                # sample_fid semantics (trainer.py:1087-1131) fused with the
+                # inception pool head in ONE sharded program
+                c_a, _ = trainer.gen.encode(gen_params, x_a, 1)
+                _, s_b = trainer.gen.encode(gen_params, x_b, 2)
+                fake = trainer.gen.decode(gen_params, c_a, s_b, 2)
+                pool, _ = net.apply(inception_variables,
+                                    inception_preprocess(fake))
+                return pool
+            cache["step"] = jax.jit(_step, in_shardings=(rep, ds, ds),
+                                    out_shardings=rep)
+        step = cache["step"]
+        pidx, pcnt = jax.process_index(), jax.process_count()
+        pools = []
+        for batch in fid_loader.batches():
+            x_a = np.asarray(batch["image_a"], np.float32)
+            x_b = np.asarray(batch["image_b"], np.float32)
+            n = x_a.shape[0]
+            # pad the (global) batch to a multiple of pcnt*n_data so every
+            # process contributes an equal local shard and the data axis
+            # divides evenly; the pad is sliced back off the pooled output
+            g = pcnt * n_data
+            full = -(-n // g) * g
+            if full != n:
+                pad = ((0, full - n),) + ((0, 0),) * (x_a.ndim - 1)
+                x_a = np.pad(x_a, pad, mode="edge")
+                x_b = np.pad(x_b, pad, mode="edge")
+            per = full // pcnt
+            ga = M.make_global_array(ds, x_a[pidx * per:(pidx + 1) * per])
+            gb = M.make_global_array(ds, x_b[pidx * per:(pidx + 1) * per])
+            pools.append(np.asarray(step(trainer.state["gen"], ga, gb))[:n])
+        pool = np.concatenate(pools, axis=0)
         return compute_fid_from_pools(pool, data_mu, data_sigma, use_jax)
 
     return get_inception_metrics

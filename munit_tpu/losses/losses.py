@@ -18,6 +18,8 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
+from munit_tpu.core.ops import upcast_f32
+
 
 # ---------------------------------------------------------------------------
 # Reconstruction
@@ -25,7 +27,7 @@ import jax.numpy as jnp
 
 
 def recon_l1(x: jax.Array, y: jax.Array) -> jax.Array:
-    return jnp.mean(jnp.abs(x.astype(jnp.float32) - y.astype(jnp.float32)))
+    return jnp.mean(jnp.abs(upcast_f32(x) - upcast_f32(y)))
 
 
 def recon_l1_masked(x: jax.Array, y: jax.Array, mask: jax.Array) -> jax.Array:
@@ -34,9 +36,9 @@ def recon_l1_masked(x: jax.Array, y: jax.Array, mask: jax.Array) -> jax.Array:
     Note the reference divides by the full element count, not the unmasked
     count (trainer.py:292-305) — preserved exactly. mask broadcasts over C.
     """
-    x = x.astype(jnp.float32)
-    y = y.astype(jnp.float32)
-    mask = mask.astype(jnp.float32)
+    x = upcast_f32(x)
+    y = upcast_f32(y)
+    mask = upcast_f32(mask)
     return jnp.mean(jnp.abs((x - y) * (1.0 - mask)))
 
 
@@ -54,8 +56,8 @@ def _bce_with_logits(logits, targets):
 def dis_gan_loss(outs_fake: Sequence[jax.Array], outs_real: Sequence[jax.Array],
                  gan_type: str = "lsgan") -> jax.Array:
     loss = 0.0
-    outs_fake = [o.astype(jnp.float32) for o in outs_fake]
-    outs_real = [o.astype(jnp.float32) for o in outs_real]
+    outs_fake = [upcast_f32(o) for o in outs_fake]
+    outs_real = [upcast_f32(o) for o in outs_real]
     for o_f, o_r in zip(outs_fake, outs_real):
         if gan_type == "lsgan":
             loss += jnp.mean(jnp.square(o_f)) + jnp.mean(jnp.square(o_r - 1.0))
@@ -70,7 +72,7 @@ def dis_gan_loss(outs_fake: Sequence[jax.Array], outs_real: Sequence[jax.Array],
 def gen_gan_loss(outs_fake: Sequence[jax.Array],
                  gan_type: str = "lsgan") -> jax.Array:
     loss = 0.0
-    outs_fake = [o.astype(jnp.float32) for o in outs_fake]
+    outs_fake = [upcast_f32(o) for o in outs_fake]
     for o in outs_fake:
         if gan_type == "lsgan":
             loss += jnp.mean(jnp.square(o - 1.0))
@@ -91,7 +93,7 @@ def gen_sr_loss(outs: Sequence[jax.Array]) -> jax.Array:
     """Fool the sim/real output discriminator toward 0.5 (networks.py:151-152)."""
     loss = 0.0
     for o in outs:
-        loss += jnp.mean(jnp.square(o.astype(jnp.float32) - 0.5))
+        loss += jnp.mean(jnp.square(upcast_f32(o) - 0.5))
     return loss
 
 

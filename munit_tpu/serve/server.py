@@ -211,7 +211,8 @@ class TranslationService:
                  new_size: Optional[int] = None,
                  max_batch: int = 1, max_wait_ms: float = 4.0,
                  quant: str = "none", mesh: str = "auto",
-                 artifact: Optional[str] = None):
+                 artifact: Optional[str] = None,
+                 max_queue: Optional[int] = None):
         from munit_tpu.core import ops
         self.conf = conf
         self.artifact = None
@@ -306,7 +307,8 @@ class TranslationService:
         self.batcher: Optional[MicroBatcher] = None
         if max_batch > 1:
             self.batcher = MicroBatcher(self._run_padded, max_batch,
-                                        max_wait_ms, min_batch=self.n_dev)
+                                        max_wait_ms, min_batch=self.n_dev,
+                                        max_queue=max_queue)
 
     def _run_padded(self, x, s):
         """Pad the batch to a multiple of the mesh's data axis, dispatch,
@@ -491,9 +493,19 @@ def _make_handler(service: TranslationService):
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    # stdlib default request_queue_size (the listen(2) backlog) is 5 —
+    # under a burst of simultaneous connects the kernel refuses the
+    # overflow and clients see connection errors BEFORE admission control
+    # ever runs (r4 load test: 28 refused connects at 64 clients). Raise
+    # it well past any sane client count so overload is always answered by
+    # the micro-batcher's 503 + Retry-After, never by a TCP RST.
+    request_queue_size = 256
+
+
 def serve(service: TranslationService, port: int = 8787,
           host: str = "127.0.0.1") -> ThreadingHTTPServer:
-    server = ThreadingHTTPServer((host, port), _make_handler(service))
+    server = _Server((host, port), _make_handler(service))
     return server
 
 
@@ -523,13 +535,18 @@ def main(argv=None):
     p.add_argument("--mesh", choices=["auto", "off"], default="auto",
                    help="auto: shard batched dispatches over all visible "
                         "chips (data-parallel serving)")
+    p.add_argument("--max-queue", type=int, default=None,
+                   help="admission-control bound on waiting requests; "
+                        "overflow is shed with 503 + Retry-After "
+                        "(default: MicroBatcher's 8x max-batch)")
     opts = p.parse_args(argv)
 
     if opts.artifact:
         svc = TranslationService(artifact=opts.artifact,
                                  max_batch=opts.max_batch,
                                  max_wait_ms=opts.max_wait_ms,
-                                 quant=opts.quant, mesh=opts.mesh)
+                                 quant=opts.quant, mesh=opts.mesh,
+                                 max_queue=opts.max_queue)
     else:
         if not (opts.config and opts.checkpoint):
             p.error("--config and --checkpoint are required without "
@@ -540,7 +557,8 @@ def main(argv=None):
         svc = TranslationService(conf, load_gen_params(opts.checkpoint, conf),
                                  max_batch=opts.max_batch,
                                  max_wait_ms=opts.max_wait_ms,
-                                 quant=opts.quant, mesh=opts.mesh)
+                                 quant=opts.quant, mesh=opts.mesh,
+                                 max_queue=opts.max_queue)
     for i, spec in enumerate(opts.style):
         name, _, path = spec.rpartition("=")
         img = Image.open(path or spec)

@@ -140,6 +140,79 @@ def test_cli_train_in_training_fid(workspace, tmp_path):
     assert np.isfinite(fids[-1]["FID"])
 
 
+def test_cli_train_in_training_fid_mesh(workspace, tmp_path):
+    """VERDICT r4 #5: in-training FID under a mesh — the sharded
+    translate+inception pipeline (the `evaluate fid --mesh auto` machinery)
+    wired into the training loop's snapshot hook. Runs on the fake 8-device
+    CPU mesh; under --dist the same path assembles global batches from
+    per-process slices (prepare_inception_metrics mesh branch)."""
+    import pickle
+    import json
+    import jax.numpy as jnp
+    from munit_tpu.eval.inception import InceptionV3
+
+    ws, cpath = workspace
+    conf = yaml.safe_load(open(cpath))
+
+    # batch 8 (the data axis) needs 8 training images per domain — the
+    # fixture lists only carry 4
+    rng8 = np.random.RandomState(7)
+    for key in ("data_list_train_a", "data_list_train_b"):
+        paths = []
+        for i in range(8):
+            pth = tmp_path / f"{key}_{i}.png"
+            Image.fromarray(
+                rng8.randint(0, 255, (48, 48, 3), np.uint8)).save(pth)
+            paths.append(str(pth))
+        lst = tmp_path / f"{key}.txt"
+        lst.write_text("\n".join(paths))
+        conf[key] = str(lst)
+
+    lists_a = [l for l in open(conf["data_list_test_a"]).read().splitlines()]
+    lists_b = [l for l in open(conf["data_list_test_b"]).read().splitlines()]
+    fid_list = tmp_path / "fid_pairs.txt"
+    fid_list.write_text("\n".join(f"{a} {b}" for a, b
+                                  in zip(lists_a, lists_b)))
+
+    net = InceptionV3()
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 299, 299, 3)))
+    ckpt = tmp_path / "inception.pkl"
+    with open(ckpt, "wb") as f:
+        pickle.dump(jax.tree.map(np.asarray, variables), f)
+    rng = np.random.RandomState(3)
+    a = rng.randn(2048, 64).astype(np.float64)
+    moments = tmp_path / "moments.npz"
+    np.savez(moments, mu=rng.randn(2048), sigma=a @ a.T / 64)
+
+    conf.update({
+        "max_iter": 2, "snapshot_save_iter": 2, "image_save_iter": 10,
+        "image_display_iter": 10, "semantic_w": 0,
+        # batch 2 with 2 fid pairs: the mesh branch pads each global batch
+        # up to the 8-device data axis and slices the pool back — the pad
+        # path is exactly what multi-process feeding exercises
+        "eval_fid": 1, "batch_size_fid": 2,
+        "data_list_fid_a": str(fid_list), "data_list_fid_b": str(fid_list),
+        "inception_moment_path": str(moments),
+        "inception_ckpt_path": str(ckpt),
+        "batch_size": 8,  # mesh training: batch must fill the data axis
+    })
+    cpath2 = tmp_path / "tiny_fid_mesh.yaml"
+    cpath2.write_text(yaml.safe_dump(conf))
+
+    from munit_tpu.cli.train import main
+    main(["--config", str(cpath2), "--output_path", str(tmp_path / "runm"),
+          "--mesh"])
+
+    outdir = tmp_path / "runm" / "outputs" / "tiny_fid_mesh"
+    fids = [json.loads(l) for l in
+            open(outdir / "metrics.jsonl").read().splitlines()
+            if "FID" in json.loads(l)]
+    assert fids, "no FID metric logged at the snapshot step under --mesh"
+    assert fids[-1]["step"] == 2
+    assert np.isfinite(fids[-1]["FID"])
+
+
 def test_remat_decode_trains():
     from munit_tpu.config import validate
     from munit_tpu.train import MUNITTrainer

@@ -50,7 +50,8 @@ def test_grad_accum_matches_full_batch(semantic_w):
     t1 = make_trainer(tiny_conf(1, semantic_w))
     t1.fused = False      # compare against the same two-step path
     t2 = make_trainer(tiny_conf(2, semantic_w))
-    assert not t2.fused   # grad_accum>1 forces the unfused path
+    t2.fused = False      # this test pins the UNFUSED chunked pair;
+    # the fused chunked step has its own parity tests below
 
     for it in range(2):   # even (extrapolation) + odd (step) ExtraAdam phase
         t1.iterations = t2.iterations = it
@@ -142,7 +143,7 @@ def test_grad_accum_adv_lambda_warns_and_runs():
     non-BN term stays chunk-mean-exact at it=0 (identical initial params)."""
     with pytest.warns(UserWarning, match="train-mode BatchNorm"):
         t2 = make_trainer(adv_conf(2))
-    assert not t2.fused
+    t2.fused = False
 
     import warnings
     with warnings.catch_warnings():
@@ -167,11 +168,128 @@ def test_grad_accum_adv_lambda_warns_and_runs():
                                    rtol=2e-5, atol=1e-6, err_msg=k)
 
 
-def test_dis_gen_update_warns_with_grad_accum():
-    """The fused step never accumulates (docs/API.md): a direct caller with
-    grad_accum>1 gets a warning, not silent full-batch memory behavior."""
+def test_dis_gen_update_accumulates_without_warning():
+    """Since r5 the fused step DOES accumulate (_dis_gen_step_accum): a
+    direct caller with grad_accum>1 gets chunked behavior, no warning.
+    (r4 warned and ran full-batch; the parity of the chunked step is
+    pinned by the test_fused_accum_* tests below.)"""
     t2 = make_trainer(tiny_conf(2))
     rng = np.random.RandomState(5)
     x = jnp.asarray(rng.randn(4, CROP, CROP, 3).astype(np.float32) * 0.3)
-    with pytest.warns(UserWarning, match="ignores grad_accum"):
-        t2.dis_gen_update(x, x)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        m = t2.dis_gen_update(x, x)
+    assert np.isfinite(float(m["loss_gen_total"]))
+
+
+def _batch(seed=0, n=4):
+    rng = np.random.RandomState(seed)
+    x_a = jnp.asarray(rng.randn(n, CROP, CROP, 3).astype(np.float32) * 0.3)
+    x_b = jnp.asarray(rng.randn(n, CROP, CROP, 3).astype(np.float32) * 0.3)
+    m_a = jnp.asarray((rng.rand(n, CROP, CROP, 1) > 0.5).astype(np.float32))
+    m_b = jnp.asarray((rng.rand(n, CROP, CROP, 1) > 0.5).astype(np.float32))
+    return x_a, x_b, m_a, m_b
+
+
+def _params_close(t1, t2, atol, msg):
+    for net in ("gen", "dis_a", "dis_b"):
+        for (kp, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(t1.state[net])[0],
+                jax.tree_util.tree_flatten_with_path(t2.state[net])[0]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=atol,
+                err_msg=f"{msg}: {net} {jax.tree_util.keystr(kp)}")
+
+
+@pytest.mark.parametrize("semantic_w", [0, 3])
+def test_fused_accum_matches_unfused_accum(semantic_w):
+    """VERDICT r4 #2: the fused chunked step (_dis_gen_step_accum, two
+    phases in ONE jit) ≡ the unfused dis_update/gen_update pair at the
+    same K — same rng stream, same chunk slicing, same D-then-G ordering
+    with gen adversarial terms against the UPDATED D. Differences are pure
+    float reassociation (different XLA programs for the same math)."""
+    x_a, x_b, m_a, m_b = _batch()
+
+    tf = make_trainer(tiny_conf(2, semantic_w))
+    assert tf.fused   # K>1 no longer forces the unfused path
+    tu = make_trainer(tiny_conf(2, semantic_w))
+    tu.fused = False
+
+    for it in range(2):   # both ExtraAdam phases
+        tf.iterations = tu.iterations = it
+        mf = tf.dis_gen_update(x_a, x_b, m_a, m_b)
+        mu = dict(tu.dis_update(x_a, x_b))
+        mu.update(tu.gen_update(x_a, x_b, m_a, m_b))
+        tol = 2e-5 if it == 0 else 1e-3
+        for k in ("loss_dis_total", "loss_gen_total", "loss_gen_adv_a",
+                  "loss_gen_cycrecon_x_a", "loss_sem_seg"):
+            if k in mu:
+                np.testing.assert_allclose(
+                    float(mf[k]), float(mu[k]), rtol=tol, atol=1e-6,
+                    err_msg=f"{k} it={it}")
+    np.testing.assert_array_equal(np.asarray(tf.state["rng"]),
+                                  np.asarray(tu.state["rng"]))
+    _params_close(tf, tu, 5e-4, "fusedK-vs-unfusedK")
+
+
+def test_fused_accum_matches_full_batch():
+    """fused-K ≡ fused K=1 for every full-count-mean term (all shipped
+    non-BN terms): same Adam-envelope bound as the unfused comparison."""
+    x_a, x_b, m_a, m_b = _batch(1)
+    t1 = make_trainer(tiny_conf(1))
+    t2 = make_trainer(tiny_conf(2))
+    for it in range(2):
+        t1.iterations = t2.iterations = it
+        m1 = t1.dis_gen_update(x_a, x_b, m_a, m_b)
+        m2 = t2.dis_gen_update(x_a, x_b, m_a, m_b)
+        tol = 2e-5 if it == 0 else 1e-3
+        for k in ("loss_dis_total", "loss_gen_total", "loss_gen_adv_a"):
+            np.testing.assert_allclose(
+                float(m2[k]), float(m1[k]), rtol=tol, atol=1e-6,
+                err_msg=f"{k} it={it}")
+    np.testing.assert_array_equal(np.asarray(t1.state["rng"]),
+                                  np.asarray(t2.state["rng"]))
+    _params_close(t1, t2, 5e-4, "fusedK-vs-K1")
+
+
+def test_accum_shared_fwd_variant(monkeypatch):
+    """MUNIT_ACCUM_SHARED_FWD=1 (one shared vjp forward per micro-batch):
+    the documented deviation is ONLY the gen adversarial terms seeing the
+    pre-update D (docs/PARITY.md #12b). With gan_w=0 the adversarial terms
+    vanish and the variant must match the exact two-phase path to float
+    tolerance; with gan_w>0 it must still run finite and match the
+    two-phase dis losses exactly (phase A math is identical)."""
+    x_a, x_b, m_a, m_b = _batch(2)
+
+    def gw0(c):
+        c = dict(c)
+        c["gan_w"] = 0.0
+        return validate(c)
+
+    t_exact = make_trainer(gw0(tiny_conf(2)))
+    monkeypatch.setenv("MUNIT_ACCUM_SHARED_FWD", "1")
+    t_shared = make_trainer(gw0(tiny_conf(2)))
+    assert t_shared.accum_shared_fwd and not t_exact.accum_shared_fwd
+    for it in range(2):
+        t_exact.iterations = t_shared.iterations = it
+        me = t_exact.dis_gen_update(x_a, x_b, m_a, m_b)
+        ms = t_shared.dis_gen_update(x_a, x_b, m_a, m_b)
+        tol = 2e-5 if it == 0 else 1e-3
+        for k in ("loss_dis_total", "loss_gen_total"):
+            np.testing.assert_allclose(
+                float(ms[k]), float(me[k]), rtol=tol, atol=1e-6,
+                err_msg=f"{k} it={it}")
+    _params_close(t_exact, t_shared, 5e-4, "sharedfwd-gw0")
+
+    # gan_w>0: finite, and dis metrics (phase-A math, pre-update D in both
+    # paths) agree at it=0
+    t_g = make_trainer(tiny_conf(2))
+    ms = t_g.dis_gen_update(x_a, x_b, m_a, m_b)
+    assert all(np.isfinite(float(v)) for v in ms.values())
+    t_e = make_trainer(tiny_conf(2))
+    monkeypatch.delenv("MUNIT_ACCUM_SHARED_FWD")
+    me = t_e.dis_gen_update(x_a, x_b, m_a, m_b)
+    np.testing.assert_allclose(float(ms["loss_dis_total"]),
+                               float(me["loss_dis_total"]),
+                               rtol=2e-5, atol=1e-6)

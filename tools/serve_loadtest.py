@@ -74,7 +74,7 @@ def fetch_stats(port):
         return json.loads(r.read())
 
 
-def client_loop(port, body, stop_t, lat, codes):
+def client_loop(port, body, stop_t, lat, codes, retry_after):
     req = urllib.request.Request(
         f"http://127.0.0.1:{port}/translate", data=body,
         headers={"Content-Type": "image/jpeg"})
@@ -87,6 +87,8 @@ def client_loop(port, body, stop_t, lat, codes):
         except urllib.error.HTTPError as e:
             e.read()
             code = e.code
+            if e.headers.get("Retry-After"):
+                retry_after[0] += 1
         except Exception:
             code = -1
         lat.append((time.time() - t0, code))
@@ -95,10 +97,11 @@ def client_loop(port, body, stop_t, lat, codes):
 
 def run_level(port, body, n_clients, duration):
     stats0 = fetch_stats(port)
-    lat, codes = [], {}
+    lat, codes, retry_after = [], {}, [0]
     stop_t = time.time() + duration
     threads = [threading.Thread(target=client_loop,
-                                args=(port, body, stop_t, lat, codes))
+                                args=(port, body, stop_t, lat, codes,
+                                      retry_after))
                for _ in range(n_clients)]
     t0 = time.time()
     for t in threads:
@@ -122,6 +125,7 @@ def run_level(port, body, n_clients, duration):
         "p50_ms": round(1e3 * ok[len(ok) // 2], 1) if ok else None,
         "p99_ms": round(1e3 * ok[int(len(ok) * 0.99)], 1) if ok else None,
         "shed_503": shed, "shed_rate": round(shed / max(total, 1), 3),
+        "retry_after_hdrs": retry_after[0],
         "errors": sum(v for k, v in codes.items() if k not in (200, 503)),
         "batch_hist": dhist,
     }
@@ -138,15 +142,39 @@ def main():
     p.add_argument("--duration", type=float, default=60)
     p.add_argument("--port", type=int, default=8791)
     p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-queue", type=int, default=None,
+                   help="pass a small bound to force admission control "
+                        "(503 shedding) under load")
+    p.add_argument("--aot", action="store_true",
+                   help="serve from an AOT .jexp.zip artifact "
+                        "(checkpoint_tools export-aot) instead of "
+                        "config+checkpoint — the deployment path column")
     p.add_argument("--startup-timeout", type=float, default=900)
     args = p.parse_args()
 
     conf_path, ckpt, style, content = setup(args.outdir, args.size, args.dim)
     body = open(content, "rb").read()
 
-    cmd = [sys.executable, "-m", "munit_tpu", "serve",
-           "--config", conf_path, "--checkpoint", ckpt, "--style", style,
-           "--port", str(args.port), "--max-batch", str(args.max_batch)]
+    if args.aot:
+        artifact = os.path.join(args.outdir, "model.jexp.zip")
+        rc = subprocess.call(
+            [sys.executable, "-m", "munit_tpu", "checkpoint_tools",
+             "export-aot", "--config", conf_path, "--ckpt", ckpt,
+             "--out", artifact],
+            env={**os.environ,
+                 "PYTHONPATH": REPO + os.pathsep
+                 + os.environ.get("PYTHONPATH", "")})
+        if rc:
+            raise RuntimeError(f"export-aot failed rc={rc}")
+        cmd = [sys.executable, "-m", "munit_tpu", "serve",
+               "--artifact", artifact, "--style", style,
+               "--port", str(args.port), "--max-batch", str(args.max_batch)]
+    else:
+        cmd = [sys.executable, "-m", "munit_tpu", "serve",
+               "--config", conf_path, "--checkpoint", ckpt, "--style", style,
+               "--port", str(args.port), "--max-batch", str(args.max_batch)]
+    if args.max_queue is not None:
+        cmd += ["--max-queue", str(args.max_queue)]
     env = dict(os.environ)
     # APPEND to PYTHONPATH: replacing it drops /root/.axon_site,
     # whose sitecustomize registers the axon TPU PJRT plugin

@@ -40,6 +40,49 @@ def build_data(root: str, n_train: int, size: int):
     return lists
 
 
+def build_synth_data(root: str, n: int, size: int, seed=1):
+    """Toy Unity-style 5-tuple set (VERDICT r4 #1): pixel-ALIGNED
+    (normal, flooded) pairs from the same scene (the alignment-masked
+    recon_synth loss needs identical pixels outside the flood), the flood
+    mask, and semantic PNGs in the reference's grayscale value table
+    (utils.py:1356-1366 — anything else fails the loader's strict LUT)."""
+    from PIL import Image
+    from quickstart import make_scene, flood
+
+    rng = np.random.RandomState(seed)
+    vals = np.array([0, 29, 55, 76, 133, 149, 178, 200, 255], np.uint8)
+    for d in ("synth_a", "synth_b", "synth_mask", "synth_sem_a",
+              "synth_sem_b"):
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+    pa, pb, pm, psa, psb = [], [], [], [], []
+    for i in range(n):
+        scene = make_scene(rng, size)
+        flooded, mask = flood(scene.copy(), rng)
+        # blocky semantic map (NEAREST-safe): 16px cells of table values
+        cells = vals[rng.randint(0, len(vals), (size // 16, size // 16))]
+        sem_a = np.kron(cells, np.ones((16, 16), np.uint8))
+        sem_b = sem_a.copy()
+        sem_b[mask > 0.5] = 255   # flooded pixels → the water class value
+        for arr, d, acc, u8 in (
+                (scene, "synth_a", pa, False),
+                (flooded, "synth_b", pb, False),
+                (mask, "synth_mask", pm, False),
+                (sem_a, "synth_sem_a", psa, True),
+                (sem_b, "synth_sem_b", psb, True)):
+            p = os.path.join(root, d, f"{i:04d}.png")
+            img = arr if u8 else (arr * 255).astype(np.uint8)
+            Image.fromarray(img).save(p)
+            acc.append(p)
+    lists = {}
+    for name, paths in (("synth_a", pa), ("synth_b", pb),
+                        ("synth_mask", pm), ("synth_sem_a", psa),
+                        ("synth_sem_b", psb)):
+        lists[name] = os.path.join(root, f"list_{name}.txt")
+        with open(lists[name], "w") as f:
+            f.write("\n".join(paths) + "\n")
+    return lists
+
+
 def write_fid_fixtures(root: str, lists):
     """Random-weight InceptionV3 variables + random PSD moments: makes the
     in-training FID hook execute its full path (translate → inception pool
@@ -110,8 +153,62 @@ def write_config(path, lists, inc, moments, fid_list, iters, batch, size,
         yaml.safe_dump(base, f)
 
 
-def _max_logged_step(outdir):
-    path = os.path.join(outdir, "outputs", "soak_256", "metrics.jsonl")
+def write_flavor_config(path, flavor, lists, synth_lists, inc, moments,
+                        fid_list, iters, batch, size, snapshot_iter,
+                        seghead=False, tiny=False):
+    """Soak config for a configs/final_test grid flavor (VERDICT r4 #1):
+    the flavor's own loss surface (FeatureDA sr classifiers / Output_DA
+    sim-real discriminators / synthetic_seg_gt) at its shipped cadence
+    (synthetic_frequency: 1, classif_frequency: 15 — reference
+    configs/Final_test/*.yaml + train.py:229-283), pointed at the toy
+    real+synthetic datasets. ``seghead=True`` additionally enables the
+    segmentation-head update (sem_seg_lambda=1 — config-driven,
+    trainer.py:1286-1324; no shipped grid config turns it on)."""
+    base = yaml.safe_load(open(os.path.join(REPO, "configs", "final_test",
+                                            flavor + ".yaml")))
+    if seghead:
+        base["adaptation"]["sem_seg_lambda"] = 1
+    if tiny:  # CPU smoke of the orchestrator itself — never a perf claim
+        base["gen"] = {"dim": 16, "mlp_dim": 32, "style_dim": 8,
+                       "activ": "relu", "n_downsample": 2, "n_res": 2,
+                       "pad_type": "reflect"}
+        base["dis"] = {"dim": 16, "norm": "none", "activ": "lrelu",
+                       "n_layer": 2, "gan_type": "lsgan", "num_scales": 2,
+                       "pad_type": "reflect"}
+        base["num_workers"] = 2
+    base.update({
+        "max_iter": iters, "batch_size": batch,
+        "new_size": size, "crop_image_height": size,
+        "crop_image_width": size,
+        "log_iter": 10, "image_save_iter": snapshot_iter,
+        "image_display_iter": snapshot_iter,
+        "snapshot_save_iter": snapshot_iter,
+        "display_size": 4, "num_workers": 8,
+        "eval_fid": 1, "batch_size_fid": 4,
+        "inception_moment_path": moments,
+        "inception_ckpt_path": inc,
+        "data_list_fid_a": fid_list, "data_list_fid_b": fid_list,
+        "semantic_ckpt_path": None,   # random frozen segmenter (warned)
+        "data_folder_train_a": "/", "data_folder_train_b": "/",
+        "data_folder_test_a": "/", "data_folder_test_b": "/",
+        "data_list_train_a": lists["train_a"],
+        "data_list_train_b": lists["train_b"],
+        "data_list_test_a": lists["test_a"],
+        "data_list_test_b": lists["test_b"],
+        "data_list_train_a_seg": lists["train_mask"],
+        "data_list_train_b_seg": lists["train_mask"],
+        "data_list_train_a_synth": synth_lists["synth_a"],
+        "data_list_train_b_synth": synth_lists["synth_b"],
+        "data_list_train_b_seg_synth": synth_lists["synth_mask"],
+        "seg_list_a": synth_lists["synth_sem_a"],
+        "seg_list_b": synth_lists["synth_sem_b"],
+    })
+    with open(path, "w") as f:
+        yaml.safe_dump(base, f)
+
+
+def _max_logged_step(outdir, name="soak_256"):
+    path = os.path.join(outdir, "outputs", name, "metrics.jsonl")
     best = 0
     try:
         with open(path) as f:
@@ -125,7 +222,8 @@ def _max_logged_step(outdir):
     return best
 
 
-def run_train(conf_path, outdir, resume, sigterm_at_step=None, timeout=3600):
+def run_train(conf_path, outdir, resume, sigterm_at_step=None, timeout=3600,
+              name="soak_256"):
     cmd = [sys.executable, "-m", "munit_tpu", "train", "--config", conf_path,
            "--output_path", outdir] + (["--resume"] if resume else [])
     env = dict(os.environ)
@@ -152,7 +250,7 @@ def run_train(conf_path, outdir, resume, sigterm_at_step=None, timeout=3600):
         if (sigterm_at_step and not sent
                 and time.time() - last_check > 5):
             last_check = time.time()
-            if _max_logged_step(outdir) >= sigterm_at_step:
+            if _max_logged_step(outdir, name) >= sigterm_at_step:
                 print(f"== sending SIGTERM at t+{time.time() - t0:.0f}s "
                       f"(logged step >= {sigterm_at_step})", flush=True)
                 proc.send_signal(signal.SIGTERM)
@@ -226,26 +324,47 @@ def main():
     p.add_argument("--timeout", type=float, default=3600)
     p.add_argument("--tiny", action="store_true",
                    help="shrink the nets for a CPU smoke of this script")
+    p.add_argument("--flavor", default=None,
+                   help="soak a configs/final_test grid flavor (e.g. "
+                        "FeatureDA+seg, Output_DA) instead of config_256: "
+                        "builds the synthetic 5-tuple toy set and runs the "
+                        "full adaptation cadence (VERDICT r4 #1)")
+    p.add_argument("--seghead", action="store_true",
+                   help="with --flavor: also enable the segmentation-head "
+                        "update (sem_seg_lambda=1 override)")
     args = p.parse_args()
 
     os.makedirs(args.outdir, exist_ok=True)
     print("== building toy dataset...", flush=True)
     lists = build_data(args.outdir, args.n_train, args.size)
     inc, moments, fid_list = write_fid_fixtures(args.outdir, lists)
-    conf_path = os.path.join(args.outdir, "soak_256.yaml")
-    write_config(conf_path, lists, inc, moments, fid_list, args.iters,
-                 args.batch, args.size, args.snapshot_iter, tiny=args.tiny)
+    if args.flavor:
+        name = "soak_" + args.flavor + ("+seghead" if args.seghead else "")
+        print("== building synthetic 5-tuple toy dataset...", flush=True)
+        synth_lists = build_synth_data(os.path.join(args.outdir, "data"),
+                                       args.n_train, args.size)
+        conf_path = os.path.join(args.outdir, name + ".yaml")
+        write_flavor_config(conf_path, args.flavor, lists, synth_lists, inc,
+                            moments, fid_list, args.iters, args.batch,
+                            args.size, args.snapshot_iter,
+                            seghead=args.seghead, tiny=args.tiny)
+    else:
+        name = "soak_256"
+        conf_path = os.path.join(args.outdir, "soak_256.yaml")
+        write_config(conf_path, lists, inc, moments, fid_list, args.iters,
+                     args.batch, args.size, args.snapshot_iter,
+                     tiny=args.tiny)
 
     t_all = time.time()
     rc, _ = run_train(conf_path, args.outdir, resume=False,
                       sigterm_at_step=args.sigterm_at_step,
-                      timeout=args.timeout)
+                      timeout=args.timeout, name=name)
     if args.sigterm_at_step:
         print("== resuming after SIGTERM...", flush=True)
         rc, _ = run_train(conf_path, args.outdir, resume=True,
-                          timeout=args.timeout)
+                          timeout=args.timeout, name=name)
     print(f"== total wall {time.time() - t_all:.0f}s, final rc={rc}")
-    summarize(args.outdir, "soak_256")
+    summarize(args.outdir, name)
 
 
 if __name__ == "__main__":
