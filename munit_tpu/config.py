@@ -36,6 +36,10 @@ _DEFAULTS: Dict[str, Any] = {
     # (gen adversarial terms see the PRE-update D — docs/PARITY.md #12b);
     # 0 (default) = the exact two-phase chunked step.
     "accum_shared_fwd": 0,
+    # with grad_accum > 1: 1 = chunk the dis-grad computations too (exact
+    # either way; an HBM lever for configs where phase A's full-batch
+    # inference slabs are the last few hundred MB over capacity).
+    "accum_chunk_dis": 0,
     "weight_decay": 0.0001,
     "beta1": 0.5,
     "beta2": 0.999,

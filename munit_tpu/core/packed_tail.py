@@ -47,6 +47,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.ad_checkpoint import checkpoint_name
 
 from munit_tpu.core import ops
 
@@ -177,7 +178,12 @@ def packed_up_block(x: jax.Array,
     p2 = lambda t: ops.space_to_depth(t, 2)
     y4 = jnp.concatenate([p2(y_top), y4[:, 1:-1], p2(y_bot)], axis=1)
     y4 = jnp.concatenate([p2(y_left), y4[:, :, 1:-1], p2(y_right)], axis=2)
-    y4 = y4 + jnp.tile(b5, 4).astype(y4.dtype)
+    # "pt_slab": the packed-tail working slabs are the largest HD decoder
+    # buffers ([B,cells,cells,16*cmid]); the "hd" remat policy recomputes
+    # them in the backward (one 3x3 conv + elementwise) instead of storing
+    # — the HD K>1 grad-accum enabler (BENCH.md r5). Inert tags without an
+    # enclosing jax.checkpoint.
+    y4 = checkpoint_name(y4 + jnp.tile(b5, 4).astype(y4.dtype), "pt_slab")
 
     # whole-LN + act in packed space (permutation-invariant stats)
     n = hs * ws * 4 * cmid
@@ -189,7 +195,9 @@ def packed_up_block(x: jax.Array,
     std = jnp.sqrt(var * (n / (n - 1)))
     g4 = jnp.tile(gamma.astype(jnp.float32), 4)
     b4 = jnp.tile(beta.astype(jnp.float32), 4)
-    z4 = act(((yf - mean) / (std + eps) * g4 + b4).astype(y4.dtype))
+    z4 = checkpoint_name(
+        act(((yf - mean) / (std + eps) * g4 + b4).astype(y4.dtype)),
+        "pt_slab")
     return ops.depth_to_space(z4, 2)
 
 
@@ -231,7 +239,12 @@ def packed_decoder_tail(x: jax.Array,
     p2 = lambda t: ops.space_to_depth(t, 2)
     y4 = jnp.concatenate([p2(y_top), y4[:, 1:-1], p2(y_bot)], axis=1)
     y4 = jnp.concatenate([p2(y_left), y4[:, :, 1:-1], p2(y_right)], axis=2)
-    y4 = y4 + jnp.tile(b5, 4).astype(y4.dtype)
+    # "pt_slab": the packed-tail working slabs are the largest HD decoder
+    # buffers ([B,cells,cells,16*cmid]); the "hd" remat policy recomputes
+    # them in the backward (one 3x3 conv + elementwise) instead of storing
+    # — the HD K>1 grad-accum enabler (BENCH.md r5). Inert tags without an
+    # enclosing jax.checkpoint.
+    y4 = checkpoint_name(y4 + jnp.tile(b5, 4).astype(y4.dtype), "pt_slab")
 
     # -- 3. whole-LN + activation in packed space -------------------------
     # Permutation-invariant stats (reference networks.py:851-878 semantics:
@@ -246,7 +259,9 @@ def packed_decoder_tail(x: jax.Array,
     g4 = jnp.tile(gamma.astype(jnp.float32), 4)
     b4 = jnp.tile(beta.astype(jnp.float32), 4)
     # cast-then-activate, matching ConvBlock's whole_layer_norm -> _act order
-    z4 = act(((yf - mean) / (std + eps) * g4 + b4).astype(y4.dtype))
+    z4 = checkpoint_name(
+        act(((yf - mean) / (std + eps) * g4 + b4).astype(y4.dtype)),
+        "pt_slab")
 
     # -- 4. packed out conv ----------------------------------------------
     # pad 2 cells (= required pixel pad 3 + the zero-extension row), s2d
@@ -255,7 +270,7 @@ def packed_decoder_tail(x: jax.Array,
     # exactly below.
     k2p = packed_out_kernel(k7)
     zp = ops.pad2d(z4, 2, "reflect")
-    zs = ops.space_to_depth(zp, 4)
+    zs = checkpoint_name(ops.space_to_depth(zp, 4), "pt_slab")
     y2 = ops.conv2d(zs, k2p, None, 1)
     out = ops.depth_to_space(y2, 8)                 # [B, 2H, 2W, cout]
 

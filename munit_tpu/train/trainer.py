@@ -86,7 +86,7 @@ class GenBundle:
         # recompute is bounded to pads + nearest-upsample gathers + the two
         # up convs per decode (VERDICT r2 #5).
         self._hd_policy = jax.checkpoint_policies.save_any_names_but_these(
-            "conv_pad", "dec_up_in", "dec_up_act")
+            "conv_pad", "dec_up_in", "dec_up_act", "pt_slab")
         kernel_init = winit.by_name(conf.get("init", "kaiming"))
         kwargs = dict(input_dim=conf["input_dim_a"], dim=g["dim"],
                       style_dim=g["style_dim"], n_downsample=g["n_downsample"],
@@ -308,6 +308,17 @@ class MUNITTrainer:
         self.accum_shared_fwd = _os.environ.get(
             "MUNIT_ACCUM_SHARED_FWD",
             str(conf.get("accum_shared_fwd", 0))) in ("1", 1, True)
+        # MUNIT_ACCUM_CHUNK_DIS=1 / `accum_chunk_dis: 1`: ALSO chunk the
+        # dis-grad computations (the dis-only step and the fused step's
+        # phase A) at grad_accum > 1. Exact either way (the dis loss is a
+        # full-count mean); chunking them multiplies their launch-bound
+        # chain count by K, so it is OFF by default — it exists for
+        # HBM-tight configs where phase A's full-batch inference slabs are
+        # the last few hundred MB over capacity (HD 512² K=2: full-batch
+        # phase A misses by 437 MB; chunked fits — BENCH.md r5).
+        self.accum_chunk_dis = _os.environ.get(
+            "MUNIT_ACCUM_CHUNK_DIS",
+            str(conf.get("accum_chunk_dis", 0))) in ("1", 1, True)
         if self.grad_accum > 1:
             if ad["adv_lambda"] > 0 or conf["domain_adv_w"] > 0:
                 import warnings
@@ -627,27 +638,36 @@ class MUNITTrainer:
     def _accum_grads(self, chunk_fn, xs):
         """Average ``chunk_fn(**chunk) -> (grads, metrics)`` over
         K = self.grad_accum sequential micro-batches (equal slices of the
-        leading batch dim of every array in ``xs``). The first chunk runs
-        unrolled (it defines the grads/metrics carry structure); the rest
-        run under lax.scan, so only ONE micro-batch of autodiff residuals
-        is live at any point — the HBM saving that is this feature's point.
-        Chunk means average to the exact full-batch value for every
-        full-count-mean loss (all shipped terms)."""
+        leading batch dim of every array in ``xs``). ALL K chunks run
+        inside ONE lax.scan (the zero carry comes from eval_shape — no
+        compute): r4 unrolled the first chunk to define the carry, which
+        put a second full copy of the chunk graph beside the scan body and
+        the allocator reserved BOTH backward working sets (the HD K=2 OOM
+        showed duplicate 132 MB decode slabs from the unrolled copy and
+        the while body simultaneously). One micro-batch of autodiff
+        residuals live at any point is the HBM saving that is this
+        feature's point. Chunk means average to the exact full-batch value
+        for every full-count-mean loss (all shipped terms); 0 + g ≡ g in
+        IEEE, so the zero init does not perturb the sum."""
         K = self.grad_accum
         bsz = next(iter(xs.values())).shape[0]
         if bsz % K:
             raise ValueError(f"batch {bsz} not divisible by grad_accum {K}")
         split = {k: v.reshape((K, bsz // K) + v.shape[1:])
                  for k, v in xs.items()}
-        carry = chunk_fn(**{k: v[0] for k, v in split.items()})
-        if K > 1:
-            def body(carry, chunk):
-                g, m = chunk_fn(**chunk)
-                cg, cm = carry
-                return (jax.tree.map(jnp.add, cg, g),
-                        jax.tree.map(jnp.add, cm, m)), None
-            carry, _ = jax.lax.scan(
-                body, carry, {k: v[1:] for k, v in split.items()})
+        if K == 1:
+            return chunk_fn(**{k: v[0] for k, v in split.items()})
+        shapes = jax.eval_shape(lambda c: chunk_fn(**c),
+                                {k: v[0] for k, v in split.items()})
+        zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+        def body(carry, chunk):
+            g, m = chunk_fn(**chunk)
+            cg, cm = carry
+            return (jax.tree.map(jnp.add, cg, g),
+                    jax.tree.map(jnp.add, cm, m)), None
+
+        carry, _ = jax.lax.scan(body, zeros, split)
         inv = 1.0 / K
         return (jax.tree.map(lambda v: v * inv, carry[0]),
                 jax.tree.map(lambda v: v * inv, carry[1]))
@@ -677,15 +697,20 @@ class MUNITTrainer:
             return jax.grad(self._dis_loss, has_aux=True)(
                 dis_params, x_ba, x_ab, x_a, x_b)
 
-        # The dis-only step NEVER chunks, even at grad_accum > 1 (r5): its
-        # loss is a full-count mean, so the chunk-mean equals the
+        # The dis-only step no longer chunks by default at grad_accum > 1
+        # (r5): its loss is a full-count mean, so the chunk-mean equals the
         # full-batch gradient EXACTLY, and its memory is inference-scale
         # (the generator forward keeps no residuals — the fakes are
         # stop-gradded). Chunking it only multiplied the launch-latency-
         # bound chain count by K (r4 K=2 ran the whole cycle at 63.95 vs
-        # 121.91 img/s; BENCH.md r5). Styles above are drawn full-batch, so
-        # the rng stream is unchanged.
-        grads, metrics = chunk_grads(x_a, x_b, s_a, s_b)
+        # 121.91 img/s; BENCH.md r5). accum_chunk_dis restores chunking
+        # for HBM-tight configs. Styles above are drawn full-batch, so the
+        # rng stream is unchanged either way.
+        if self.grad_accum > 1 and self.accum_chunk_dis:
+            grads, metrics = self._accum_grads(
+                chunk_grads, dict(x_a=x_a, x_b=x_b, s_a=s_a, s_b=s_b))
+        else:
+            grads, metrics = chunk_grads(x_a, x_b, s_a, s_b)
         new_params, new_opt = self._opt_update(
             grads, state["dis_opt"], dis_params, lr, extrapolate)
         state["dis_a"], state["dis_b"] = new_params["a"], new_params["b"]
@@ -926,17 +951,27 @@ class MUNITTrainer:
             new_gen, new_gen_opt = self._opt_update(
                 grads["g"], state["gen_opt"], state["gen"], lr, extrapolate)
         else:
-            # Phase A runs the FULL batch (r5): the dis loss is a
-            # full-count mean (chunk-mean ≡ full-batch exactly) and the
+            # Phase A runs the FULL batch by default (r5): the dis loss is
+            # a full-count mean (chunk-mean ≡ full-batch exactly) and the
             # inference forward keeps no residuals, so chunking it bought
             # no memory and multiplied the launch-latency-bound chain
             # count by K. Only phase B — the gen vjp, whose residuals ARE
             # the HBM pressure grad_accum exists to relieve — chunks.
-            with ops.conv_quant(self.int8_dis_fakes):
-                *_, x_ba_d, x_ab_d = self._cross_decode(
-                    state["gen"], x_a, x_b, s_a_d, s_b_d)
-            grads_d, m_dis = jax.grad(self._dis_loss, has_aux=True)(
-                dis_params, sg(x_ba_d), sg(x_ab_d), x_a, x_b)
+            # accum_chunk_dis chunks phase A too, for configs where the
+            # full-batch inference slabs are the last few hundred MB over
+            # HBM (HD 512² K=2 — BENCH.md r5).
+            def dis_chunk(x_a, x_b, s_a_d, s_b_d, **_unused):
+                with ops.conv_quant(self.int8_dis_fakes):
+                    *_, x_ba_d, x_ab_d = self._cross_decode(
+                        state["gen"], x_a, x_b, s_a_d, s_b_d)
+                return jax.grad(self._dis_loss, has_aux=True)(
+                    dis_params, sg(x_ba_d), sg(x_ab_d), x_a, x_b)
+
+            if self.accum_chunk_dis:
+                grads_d, m_dis = self._accum_grads(dis_chunk, dict(
+                    x_a=x_a, x_b=x_b, s_a_d=s_a_d, s_b_d=s_b_d))
+            else:
+                grads_d, m_dis = dis_chunk(x_a, x_b, s_a_d, s_b_d)
             new_dis, new_dis_opt = self._opt_update(
                 grads_d, state["dis_opt"], dis_params, lr, extrapolate)
 

@@ -293,3 +293,29 @@ def test_accum_shared_fwd_variant(monkeypatch):
     np.testing.assert_allclose(float(ms["loss_dis_total"]),
                                float(me["loss_dis_total"]),
                                rtol=2e-5, atol=1e-6)
+
+
+def test_accum_chunk_dis_exact(monkeypatch):
+    """accum_chunk_dis=1 (chunk the dis-grad computations too — the HBM
+    lever for HD K>1) is exact vs the default full-batch phase A: the dis
+    loss is a full-count mean, so both give the same gradients up to
+    reassociation."""
+    x_a, x_b, m_a, m_b = _batch(4)
+    monkeypatch.setenv("MUNIT_ACCUM_CHUNK_DIS", "1")
+    t_c = make_trainer(tiny_conf(2))
+    assert t_c.accum_chunk_dis
+    monkeypatch.delenv("MUNIT_ACCUM_CHUNK_DIS")
+    t_f = make_trainer(tiny_conf(2))
+    assert not t_f.accum_chunk_dis
+    for it in range(2):
+        t_c.iterations = t_f.iterations = it
+        mc = dict(t_c.dis_update(x_a, x_b))
+        mc.update(t_c.dis_gen_update(x_a, x_b, m_a, m_b))
+        mf = dict(t_f.dis_update(x_a, x_b))
+        mf.update(t_f.dis_gen_update(x_a, x_b, m_a, m_b))
+        tol = 2e-5 if it == 0 else 1e-3
+        for k in ("loss_dis_total", "loss_gen_total"):
+            np.testing.assert_allclose(float(mc[k]), float(mf[k]),
+                                       rtol=tol, atol=1e-6,
+                                       err_msg=f"{k} it={it}")
+    _params_close(t_c, t_f, 5e-4, "chunkdis-vs-fullbatch")
