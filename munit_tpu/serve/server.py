@@ -541,6 +541,26 @@ def main(argv=None):
                         "(default: MicroBatcher's 8x max-batch)")
     opts = p.parse_args(argv)
 
+    # Persistent compile cache (same policy as cli/train): the per-bucket
+    # warmup jits cost minutes cold over a remote-compile tunnel; restarts
+    # (deploys, crash recovery, load tests) should pay seconds.
+    import jax
+    cache = os.environ.get("MUNIT_JIT_CACHE")
+    if cache is None:
+        repo = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        cache = os.path.join(
+            repo, ".jax_cache" if jax.default_backend() != "cpu"
+            else ".jax_cache_cpu")
+    if cache:
+        try:
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except OSError as e:
+            print(f"WARNING: compile cache disabled ({e})")
+
     if opts.artifact:
         svc = TranslationService(artifact=opts.artifact,
                                  max_batch=opts.max_batch,

@@ -38,6 +38,13 @@ ALL = ["Baseline", "Baseline+seg", "FeatureDA", "FeatureDA+seg",
 def run_flavor(name):
     import jax
     import jax.numpy as jnp
+    # Persistent compile cache: the per-flavor fused graphs cost 305-511 s
+    # cold (BENCH.md r4) — share them with cli/train's cache so soaked
+    # flavors hit and re-rows are minutes, not an hour.
+    os.makedirs(os.path.join(REPO, ".jax_cache"), exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from munit_tpu.config import get_config, validate
     from munit_tpu.core import ops
     from munit_tpu.train import MUNITTrainer
